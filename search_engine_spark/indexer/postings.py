@@ -1,0 +1,45 @@
+"""Postings + corpus statistics as plain Spark aggregates.
+
+This is SURVEY.md A1/A2: the term-frequency map the reference computes
+per doc (TextProcessingService.java:101-115) becomes
+explode -> groupBy(docid, term).count(); the BM25 corpus statistics
+(N, avgdl, df) the reference delegates to Lucene become plain Spark
+aggregates feeding the scorer (north-star requirement).
+
+Scale notes:
+- groupBy(term, docid) partial-aggregates map-side, so hot terms
+  cost O(#docs-with-term / #tasks) per task before the shuffle,
+  and the (term, docid) key is fine-grained enough not to skew.
+- `doclen` is denormalized into the postings (the Lucene "norms"
+  trick) so query-time scoring never joins the full docmap.
+- df(term) uses count(*) on the already-unique (term, docid) pairs —
+  no countDistinct shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_postings(docmap: DataFrame) -> DataFrame:
+    """docmap(tokens, doclen) -> postings(term, docid, tf, doclen)."""
+    return (
+        docmap.select("docid", "doclen", F.explode("tokens").alias("term"))
+        .groupBy("term", "docid", "doclen")
+        .agg(F.count("*").cast("int").alias("tf"))
+        .select("term", "docid", "tf", "doclen")
+    )
+
+
+def build_df_table(postings: DataFrame) -> DataFrame:
+    """postings -> (term, df): document frequency per term."""
+    return postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+
+
+def build_stats(docmap: DataFrame) -> DataFrame:
+    """docmap -> single row (n_docs, avgdl)."""
+    return docmap.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg("doclen").alias("avgdl"),
+    )

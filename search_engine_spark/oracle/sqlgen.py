@@ -1,0 +1,124 @@
+"""DuckDB oracle SQL generation for the driver contract.
+
+Every query the engine exposes in ``__spark_entry__.queries()`` has a
+DuckDB twin generated here, sharing tokenizer semantics and BM25
+constants with the engine through ``search_engine_spark`` imports —
+one source of truth, two dialects.
+
+The driver registers each ``/root/testdata/sf*/{t}.parquet`` as a view
+named ``{t}`` before running these.
+"""
+
+from __future__ import annotations
+
+from search_engine_spark.config import BM25_B, BM25_K1
+from search_engine_spark.tokenizer import duckdb_tokens_sql, tokenize_query
+
+# documents view columns: doc_id, text, lang, source, n_chars
+
+
+def toks_cte() -> str:
+    """CTE producing (docid, toks, doclen) from the documents view."""
+    return (
+        "toks AS (SELECT doc_id AS docid, "
+        f"{duckdb_tokens_sql('text')} AS toks FROM documents), "
+        "tl AS (SELECT docid, toks, len(toks) AS doclen FROM toks)"
+    )
+
+
+def postings_cte() -> str:
+    """CTEs -> postings(term, docid, tf, doclen)."""
+    return (
+        toks_cte() + ", "
+        "exploded AS (SELECT docid, doclen, unnest(toks) AS term FROM tl), "
+        "postings AS (SELECT term, docid, CAST(count(*) AS INT) AS tf, "
+        "doclen FROM exploded GROUP BY term, docid, doclen)"
+    )
+
+
+def term_counts_sql(limit: int = 100) -> str:
+    return (
+        "WITH " + toks_cte() + ", "
+        "exploded AS (SELECT unnest(toks) AS term FROM tl) "
+        "SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM exploded "
+        f"GROUP BY term ORDER BY cnt DESC, term LIMIT {limit}"
+    )
+
+
+def term_df_sql(limit: int = 200) -> str:
+    return (
+        "WITH " + postings_cte() + " "
+        "SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings "
+        f"GROUP BY term ORDER BY df DESC, term LIMIT {limit}"
+    )
+
+
+def corpus_stats_sql() -> str:
+    return (
+        "WITH " + toks_cte() + " "
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        "ROUND(avg(len(toks)), 6) AS avgdl FROM tl"
+    )
+
+
+def bm25_topk_sql(query: str, k: int = 10) -> str:
+    terms = tokenize_query(query)
+    if not terms:
+        return "SELECT CAST(NULL AS BIGINT) AS docid, CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+    terms_in = ", ".join(f"'{t}'" for t in terms)
+    return (
+        "WITH " + postings_cte() + ", "
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, "
+        "avg(doclen) AS avgdl FROM tl), "
+        "dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings "
+        f"WHERE term IN ({terms_in}) GROUP BY term), "
+        "scored AS (SELECT p.docid, "
+        "SUM(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * "
+        f"(p.tf * ({BM25_K1} + 1.0) / (p.tf + {BM25_K1} * "
+        f"(1.0 - {BM25_B} + {BM25_B} * p.doclen / s.avgdl)))) AS raw "
+        "FROM postings p JOIN dfs d ON p.term = d.term CROSS JOIN stats s "
+        f"WHERE p.term IN ({terms_in}) GROUP BY p.docid) "
+        "SELECT docid, ROUND(raw, 4) AS score FROM scored "
+        f"ORDER BY raw DESC, docid LIMIT {k}"
+    )
+
+
+def exact_dedup_sql() -> str:
+    """Survivors of sha256 exact dedup (min doc_id per content sha)."""
+    return (
+        "SELECT CAST(min(doc_id) AS BIGINT) AS docid, "
+        "sha256(text) AS content_sha256 "
+        "FROM documents GROUP BY sha256(text) "
+        "ORDER BY docid"
+    )
+
+
+def snippet_sql(limit: int = 100) -> str:
+    """F11 snippet rule: <=200 chars; cut at last space past 100; '...'."""
+    return (
+        "SELECT doc_id AS docid, "
+        "CASE WHEN len(text) <= 200 THEN text "
+        "WHEN length(regexp_extract(substr(text, 1, 200), '^([\\s\\S]{100,199}) ', 1)) > 0 "
+        "THEN regexp_extract(substr(text, 1, 200), '^([\\s\\S]{100,199}) ', 1) || '...' "
+        "ELSE substr(text, 1, 200) || '...' END AS snippet "
+        f"FROM documents ORDER BY doc_id LIMIT {limit}"
+    )
+
+
+def quality_score_sql() -> str:
+    """F13 content quality score (TextProcessingService.java:131-163):
+    0.3*min(len/5000,1) + 0.2*min(words/800,1) + 0.3*uniqueRatio
+    + 0.2*min(avgWordLen/6,1), over the engine tokenizer's tokens."""
+    return (
+        "WITH " + toks_cte() + ", "
+        "m AS (SELECT t.docid, length(d.text) AS nchars, t.doclen AS words, "
+        "CASE WHEN t.doclen = 0 THEN 0.0 "
+        "ELSE len(list_distinct(t.toks)) * 1.0 / t.doclen END AS uniq_ratio, "
+        "CASE WHEN t.doclen = 0 THEN 0.0 "
+        "ELSE list_aggregate(list_transform(t.toks, x -> len(x)), 'sum') * 1.0 / t.doclen END AS avg_wlen "
+        "FROM tl t JOIN documents d ON d.doc_id = t.docid) "
+        "SELECT docid, ROUND("
+        "0.3 * least(nchars / 5000.0, 1.0) + 0.2 * least(words / 800.0, 1.0) "
+        "+ 0.3 * uniq_ratio + 0.2 * least(avg_wlen / 6.0, 1.0), 5) AS quality "
+        "FROM m ORDER BY docid"
+    )

@@ -1,0 +1,51 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Local mode here is a stand-in for a multi-executor cluster: every
+knob below (AQE, shuffle partition sizing, Arrow batches, skew join)
+is the setting we would ship on a 1000-executor cluster; only
+``master`` and memory differ.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "search_engine_spark",
+    parallelism: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if parallelism is None:
+        parallelism = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(parallelism, 4)
+    if driver_memory is None:
+        driver_memory = os.environ.get("SPARK_DRIVER_MEMORY", "48g")
+
+    b = (
+        SparkSession.builder.master(f"local[{parallelism}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(parallelism))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+        # Parquet scans: keep file-split sizing explicit so the same
+        # code yields sane task counts at 100 TB (128 MiB splits).
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,184 @@
+"""Code-aware tokenizer — ONE frozen semantic, four implementations.
+
+Rank-identity (BASELINE.md) requires that index build, query parse,
+the pure-Python oracle, and the DuckDB oracle SQL all tokenize
+identically.  This module is the single source of truth; everything
+else imports from here.
+
+Semantics (applied in this exact order):
+
+1. camelCase boundary split:   ``([a-z0-9])([A-Z])   -> \\1 \\2``
+2. acronym boundary split:     ``([A-Z]+)([A-Z][a-z]) -> \\1 \\2``
+3. lowercase
+4. split on runs of ``[^a-z0-9]+``  (this also splits snake_case)
+5. keep tokens with 2 < len < 50   (reference analyzer length filter,
+   SE/domain/indexing/service/TextProcessingService.java:42,83)
+6. drop pure digits                (reference simple tokenizer,
+   SE/infrastructure/messaging/kafka/consumer/PageContentConsumer.java:75)
+7. drop Lucene English stopwords   (english analyzer on content,
+   SE/.../WebPageEsDocument.java:37-38) — no Porter stemming: the
+   corpus is source code; stemming identifiers is harmful.  Engine-
+   defined deviation, documented in README.
+
+Duplicates are KEPT (BM25 needs term frequencies); the reference's
+``distinct + limit 1000`` applies only to its keyword `tokens` field,
+not to the analyzed content field that BM25 scores.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+from search_engine_spark.config import (
+    MAX_TOKEN_LEN_EXCL,
+    MIN_TOKEN_LEN_EXCL,
+    STOPWORDS,
+)
+
+_CAMEL1 = r"([a-z0-9])([A-Z])"
+_CAMEL2 = r"([A-Z]+)([A-Z][a-z])"
+_SPLIT = r"[^a-z0-9]+"
+_PURE_DIGITS = r"^[0-9]+$"
+
+_RE_CAMEL1 = re.compile(_CAMEL1)
+_RE_CAMEL2 = re.compile(_CAMEL2)
+_RE_SPLIT = re.compile(_SPLIT)
+_RE_DIGITS = re.compile(_PURE_DIGITS)
+_STOPSET = frozenset(STOPWORDS)
+
+
+def py_tokenize(text: str | None) -> list[str]:
+    """Pure-Python tokenizer: the oracle/"spec" implementation."""
+    if not text:
+        return []
+    t = _RE_CAMEL1.sub(r"\1 \2", text)
+    t = _RE_CAMEL2.sub(r"\1 \2", t)
+    t = t.lower()
+    return [
+        tok
+        for tok in _RE_SPLIT.split(t)
+        if MIN_TOKEN_LEN_EXCL < len(tok) < MAX_TOKEN_LEN_EXCL
+        and not _RE_DIGITS.match(tok)
+        and tok not in _STOPSET
+    ]
+
+
+def tokenize_query(q: str) -> list[str]:
+    """Query-side tokenization: same function, then term-set dedup.
+
+    ES executes a bool.should over DISTINCT terms (FIXTURES.md q09:
+    'java java java' scores like 'java'), preserving first-seen order.
+    Mirrors query normalization at SearchQuery.java:14-31 (trim,
+    collapse whitespace, reject >500 chars — we just truncate).
+    """
+    q = " ".join(q.strip().split())[:500]
+    return list(dict.fromkeys(py_tokenize(q)))
+
+
+# ---------------------------------------------------------------------------
+# Spark column-expression implementation (JVM-side, whole-stage codegen;
+# the default hot path — zero Python anywhere).
+# ---------------------------------------------------------------------------
+
+def tokens_col(col):
+    """Spark Column: tokenize a string column entirely JVM-side."""
+    from pyspark.sql import functions as F
+
+    c = F.coalesce(col if not isinstance(col, str) else F.col(col), F.lit(""))
+    t = F.regexp_replace(c, _CAMEL1, r"$1 $2")
+    t = F.regexp_replace(t, _CAMEL2, r"$1 $2")
+    arr = F.split(F.lower(t), _SPLIT)
+    return F.filter(
+        arr,
+        lambda x: (F.length(x) > MIN_TOKEN_LEN_EXCL)
+        & (F.length(x) < MAX_TOKEN_LEN_EXCL)
+        & ~x.rlike(_PURE_DIGITS)
+        & ~x.isin(*STOPWORDS),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vectorized Arrow (pandas) UDF implementation — the north-star-mandated
+# form.  All steps are vectorized pandas/numpy string kernels; no
+# per-row Python function application.
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=1)
+def _get_pandas_udf():
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def tokenize_udf(s):
+        return tokenize_series(s)
+
+    return tokenize_udf
+
+
+def tokenize_series(s):
+    """pandas Series[str] -> Series[list[str]] using vectorized kernels.
+
+    Equivalent to ``py_tokenize`` applied per row (asserted by tests),
+    but implemented with pandas vectorized .str ops + a groupby
+    re-assembly, so no Python-level per-row function runs.
+    """
+    import pandas as pd
+
+    s = s.fillna("")
+    t = (
+        s.str.replace(_CAMEL1, r"\1 \2", regex=True)
+        .str.replace(_CAMEL2, r"\1 \2", regex=True)
+        .str.lower()
+    )
+    # Explode to one token per row (vectorized), filter, reassemble.
+    flat = t.str.split(_SPLIT).explode()
+    ln = flat.str.len()
+    keep = (
+        (ln > MIN_TOKEN_LEN_EXCL)
+        & (ln < MAX_TOKEN_LEN_EXCL)
+        & ~flat.str.fullmatch(r"[0-9]+", na=False)
+        & ~flat.isin(_STOPSET)
+    )
+    kept = flat[keep.fillna(False)]
+    grouped = kept.groupby(level=0).agg(list)
+    # Rows whose every token was filtered out need an explicit [].
+    out = pd.Series([[]] * len(s), index=s.index, dtype=object)
+    out.update(grouped)
+    return out
+
+
+def tokens_udf_col(col):
+    """Spark Column: tokenize via the vectorized Arrow pandas UDF."""
+    from pyspark.sql import functions as F
+
+    f = _get_pandas_udf()
+    return f(col if not isinstance(col, str) else F.col(col))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL implementation (oracle side, generated string).
+# ---------------------------------------------------------------------------
+
+def duckdb_tokens_sql(expr: str) -> str:
+    """DuckDB SQL expression producing the token list for ``expr``."""
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return (
+        "list_filter("
+        "string_split_regex("
+        "lower(regexp_replace(regexp_replace(coalesce({e}, ''),"
+        " '{c1}', '\\1 \\2', 'g'), '{c2}', '\\1 \\2', 'g')),"
+        " '{sp}'),"
+        " t -> len(t) > {lo} AND len(t) < {hi}"
+        " AND NOT regexp_matches(t, '^[0-9]+$')"
+        " AND t NOT IN ({stop}))"
+    ).format(
+        e=expr,
+        c1=_CAMEL1,
+        c2=_CAMEL2,
+        sp=_SPLIT,
+        lo=MIN_TOKEN_LEN_EXCL,
+        hi=MAX_TOKEN_LEN_EXCL,
+        stop=stop,
+    )

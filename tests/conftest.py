@@ -1,0 +1,20 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from search_engine_spark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="tests",
+        parallelism=int(os.environ.get("TEST_SPARK_CPUS", "8")),
+        shuffle_partitions=8,
+        driver_memory="8g",
+    )
+    yield s
+    s.stop()

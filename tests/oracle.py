@@ -1,0 +1,84 @@
+"""Pure-Python brute-force oracle (FIXTURES.md §5).
+
+Independent of Spark: dict-of-dicts inverted index + float64 BM25,
+terms summed in sorted-term order, tie-break (score desc, docid asc).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import defaultdict
+
+from search_engine_spark.config import BM25_B, BM25_K1
+from search_engine_spark.tokenizer import py_tokenize, tokenize_query
+
+
+class OracleIndex:
+    def __init__(self, docs: list[dict]):
+        """docs: [{'repo','path','commit','lang','content'}, ...]."""
+        # exact dedup: keep lexicographically-smallest key per sha
+        by_sha: dict[str, dict] = {}
+        for d in docs:
+            sha = hashlib.sha256(d["content"].encode("utf-8")).hexdigest()
+            key = (d["repo"], d["path"], d["commit"])
+            cur = by_sha.get(sha)
+            if cur is None or key < (cur["repo"], cur["path"], cur["commit"]):
+                by_sha[sha] = {**d, "content_sha256": sha}
+        survivors = sorted(
+            by_sha.values(), key=lambda d: (d["repo"], d["path"], d["commit"])
+        )
+        self.docmap: list[dict] = []
+        self.postings: dict[str, dict[int, int]] = defaultdict(dict)
+        self.doclen: dict[int, int] = {}
+        for docid, d in enumerate(survivors):
+            toks = py_tokenize(d["content"])
+            self.doclen[docid] = len(toks)
+            tf: dict[str, int] = defaultdict(int)
+            for t in toks:
+                tf[t] += 1
+            for t, c in tf.items():
+                self.postings[t][docid] = c
+            self.docmap.append({**d, "docid": docid, "doclen": len(toks)})
+        self.n_docs = len(survivors)
+        self.avgdl = (
+            sum(self.doclen.values()) / self.n_docs if self.n_docs else 0.0
+        )
+
+    def idf(self, term: str) -> float:
+        df = len(self.postings.get(term, {}))
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        terms = tokenize_query(query)
+        scores: dict[int, float] = defaultdict(float)
+        for t in sorted(set(terms)):  # sorted-term sum order (bit-stable)
+            plist = self.postings.get(t)
+            if not plist:
+                continue
+            w = self.idf(t)
+            for docid, tf in plist.items():
+                dl = self.doclen[docid]
+                tfn = (
+                    tf * (BM25_K1 + 1.0)
+                    / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / self.avgdl))
+                )
+                scores[docid] += w * tfn
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+
+REFERENCE_QUERIES = {
+    "q01": "java",
+    "q02": "python tutorial",
+    "q03": "search algorithm",
+    "q04": "database index merge",
+    "q05": "parse_token_id",
+    "q06": "QueryParserImpl",
+    "q07": "bug framework api",
+    "q08": "zzznosuchterm",
+    "q09": "java java java",
+    "q10": "the and of",
+    "q11": "java flushWrite",
+    "q12": "crawl rank page link doc term",
+}
