@@ -1,0 +1,164 @@
+"""Index build orchestration: documents -> docmap/df/stats/segments,
+wave-by-wave with lineage checkpointing, resumable mid-job.
+
+Storage layout under ``index_dir`` (Parquet catalog shim; the same
+table names/schemas/partitioning would sit behind an Iceberg catalog
+when the runtime jar is present — SURVEY.md §7):
+
+    docmap/    (docid, repo, path, commit, lang, content,
+                content_sha256, doclen)
+    df/        (term, df)
+    stats/     (n_docs, avgdl)
+    segments/  partitioned by slab: (bucket, gen, term, df,
+                max_factor, postings, skips, block_max)
+    lineage/   per-slab build status + metrics
+    meta.json  engine config + corpus stats + norm_avgdl
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import EngineConfig
+from search_engine_spark.indexer import lineage as L
+from search_engine_spark.indexer.docmap import build_docmap
+from search_engine_spark.indexer.postings import (
+    build_df_table,
+    build_postings,
+    build_stats,
+)
+from search_engine_spark.indexer.segments import build_segments, postings_with_keys
+
+
+def _exists(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+DOCMAP_COLS = [
+    "docid", "repo", "path", "commit", "lang", "content",
+    "content_sha256", "doclen",
+]
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    cfg: EngineConfig | None = None,
+    resume: bool = False,
+    wave_size: int | None = None,
+    use_arrow_udf: bool = True,
+    fail_after_waves: int | None = None,
+) -> dict:
+    """Build (or resume) the full index.  Returns build metrics.
+
+    ``fail_after_waves`` is a test hook: abort after N segment waves
+    to exercise resume.
+    """
+    cfg = cfg or EngineConfig()
+    os.makedirs(index_dir, exist_ok=True)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    t0 = time.time()
+    metrics: dict = {}
+
+    docmap_path = f"{index_dir}/docmap"
+    if not (resume and _exists(docmap_path)):
+        docmap = build_docmap(docs, use_arrow_udf=use_arrow_udf)
+        docmap.select(*DOCMAP_COLS).write.mode("overwrite").parquet(docmap_path)
+    docmap_disk = spark.read.parquet(docmap_path)
+    # tokens are recomputed deterministically from content on resume
+    from search_engine_spark.tokenizer import tokens_col, tokens_udf_col
+
+    tok = tokens_udf_col("content") if use_arrow_udf else tokens_col("content")
+    docmap_tok = docmap_disk.withColumn("tokens", tok)
+
+    stats_path = f"{index_dir}/stats"
+    if not (resume and _exists(stats_path)):
+        build_stats(docmap_disk).write.mode("overwrite").parquet(stats_path)
+    n_docs, avgdl = spark.read.parquet(stats_path).collect()[0]
+    n_docs, avgdl = int(n_docs), float(avgdl)
+    metrics["n_docs"] = n_docs
+    metrics["avgdl"] = avgdl
+
+    postings = build_postings(docmap_tok)
+    df_path = f"{index_dir}/df"
+    if not (resume and _exists(df_path)):
+        build_df_table(postings).write.mode("overwrite").parquet(df_path)
+
+    n_slabs = max(1, math.ceil(n_docs / cfg.slab_size))
+    done = L.completed_slabs(spark, index_dir) if resume else set()
+    remaining = [s for s in range(n_slabs) if s not in done]
+    metrics["n_slabs"] = n_slabs
+    metrics["resumed_skipped"] = n_slabs - len(remaining)
+
+    wave_size = wave_size or len(remaining) or 1
+    keyed = postings_with_keys(postings, cfg)
+    keyed.persist()
+    try:
+        waves = [
+            remaining[i:i + wave_size]
+            for i in range(0, len(remaining), wave_size)
+        ]
+        seg_path = f"{index_dir}/segments"
+        for wi, wave in enumerate(waves):
+            if fail_after_waves is not None and wi >= fail_after_waves:
+                raise RuntimeError("injected build failure (test hook)")
+            started = time.time()
+            seg = build_segments(
+                keyed.filter(F.col("slab").isin(wave)), cfg, avgdl, gen=0
+            )
+            (
+                seg.repartition(max(1, len(wave)), "slab")
+                .write.mode("overwrite")
+                .partitionBy("slab")
+                .parquet(seg_path)
+            )
+            back = spark.read.parquet(seg_path).filter(F.col("slab").isin(wave))
+            wave_stats = {
+                r["slab"]: (r["rows"], r["bytes"])
+                for r in back.groupBy("slab")
+                .agg(
+                    F.sum("df").alias("rows"),
+                    F.sum(F.length("postings")).alias("bytes"),
+                )
+                .collect()
+            }
+            L.append_lineage(
+                spark,
+                index_dir,
+                [
+                    {
+                        "slab": s,
+                        "status": "COMPLETED",
+                        "rows": wave_stats.get(s, (0, 0))[0],
+                        "bytes": wave_stats.get(s, (0, 0))[1],
+                        "started_at": started,
+                        "finished_at": time.time(),
+                    }
+                    for s in wave
+                ],
+            )
+    finally:
+        keyed.unpersist()
+
+    meta = {
+        "slab_size": cfg.slab_size,
+        "term_buckets": cfg.term_buckets,
+        "block_size": cfg.block_size,
+        "k1": cfg.k1,
+        "b": cfg.b,
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "norm_avgdl": avgdl,  # avgdl the block_max bounds were built with
+        "n_slabs": n_slabs,
+    }
+    with open(f"{index_dir}/meta.json", "w") as f:
+        json.dump(meta, f, indent=2)
+    metrics["build_sec"] = time.time() - t0
+    return metrics

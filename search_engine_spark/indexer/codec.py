@@ -1,0 +1,248 @@
+"""Posting-list codec: docid-delta + varint, aligned block-max skips.
+
+Pure numpy, fully vectorized (the only Python-level loops are over
+varint byte positions, <= 10 iterations, and per-term output slicing).
+This is the part the reference outsources to Lucene (SURVEY.md §1.4):
+term-sorted posting lists, delta + varint compression, block-level
+skip/max metadata for Block-Max WAND.
+
+Layout per (term, slab):
+
+``postings`` binary =
+    [uint32 len_docid_stream][uint32 len_tf_stream]
+    [docid-delta varints][tf varints][doclen varints]
+
+Docids are slab-local (docid - slab_base).  The block grid is ALIGNED
+on absolute docid ranges: block b covers local docids
+[b*block_size, (b+1)*block_size) — the same grid for every term in
+the slab, so per-block upper bounds can be summed across terms during
+WAND pruning.  The first posting of each block stores its offset from
+the block base; subsequent postings store deltas — every block is
+independently decodable.
+
+``skips`` binary = int32 array
+    [n_blocks][block_id x n][start_idx x n][off_d x n][off_t x n][off_l x n]
+    (offsets are byte offsets into the respective stream; start_idx is
+    the posting ordinal at the block head — counts come from diffs.)
+
+``block_max`` binary = float64 array: per-block max of the BM25
+tf-norm factor  tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)); multiplied by
+idf at query time it upper-bounds any score contribution in the block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_THRESHOLDS = [np.uint64(1) << np.uint64(7 * k) for k in range(1, 10)]
+
+
+def varint_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 array -> (bytes uint8 array, per-value byte length)."""
+    v = values.astype(np.uint64, copy=False)
+    nb = np.ones(len(v), dtype=np.int64)
+    for t in _THRESHOLDS:
+        nb += v >= t
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.zeros(int(ends[-1]) if len(v) else 0, dtype=np.uint8)
+    maxnb = int(nb.max()) if len(v) else 0
+    for j in range(maxnb):
+        mask = nb > j
+        idx = starts[mask] + j
+        byte = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = np.where(j < nb[mask] - 1, 0x80, 0)
+        out[idx] = byte.astype(np.uint8) | cont.astype(np.uint8)
+    return out, nb
+
+
+def varint_decode(buf: np.ndarray) -> np.ndarray:
+    """uint8 array of concatenated varints -> uint64 values."""
+    if len(buf) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    buf = np.asarray(buf, dtype=np.uint8)
+    last = (buf & 0x80) == 0
+    n = int(last.sum())
+    gid = np.cumsum(last) - last  # value index per byte
+    starts = np.zeros(n, dtype=np.int64)
+    ends = np.flatnonzero(last)
+    starts[1:] = ends[:-1] + 1
+    pos = np.arange(len(buf), dtype=np.int64) - starts[gid]
+    vals = np.zeros(n, dtype=np.uint64)
+    np.add.at(
+        vals, gid, (buf & np.uint8(0x7F)).astype(np.uint64) << (7 * pos).astype(np.uint64)
+    )
+    return vals
+
+
+def tf_norm_factor(tf, dl, k1: float, b: float, avgdl: float):
+    """BM25 term-frequency normalization factor (vectorized)."""
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.asarray(dl, dtype=np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+class TermChunk:
+    """Decoded handle over one (term, slab) chunk."""
+
+    __slots__ = ("postings", "n_blocks", "block_ids", "start_idx",
+                 "off_d", "off_t", "off_l", "block_max", "df",
+                 "_d", "_t", "_l")
+
+    def __init__(self, postings: bytes, skips: bytes, block_max: bytes):
+        self.postings = postings
+        hdr = np.frombuffer(postings[:8], dtype=np.uint32)
+        ld, lt = int(hdr[0]), int(hdr[1])
+        body = np.frombuffer(postings, dtype=np.uint8)[8:]
+        self._d = body[:ld]
+        self._t = body[ld:ld + lt]
+        self._l = body[ld + lt:]
+        sk = np.frombuffer(skips, dtype=np.int32)
+        nb = int(sk[0])
+        self.n_blocks = nb
+        self.block_ids = sk[1:1 + nb]
+        self.start_idx = sk[1 + nb:1 + 2 * nb]
+        self.off_d = sk[1 + 2 * nb:1 + 3 * nb]
+        self.off_t = sk[1 + 3 * nb:1 + 4 * nb]
+        self.off_l = sk[1 + 4 * nb:1 + 5 * nb]
+        self.block_max = np.frombuffer(block_max, dtype=np.float64)
+        # df = total postings; start_idx end sentinel not stored:
+        self.df = None  # set by caller if needed
+
+    def _slices(self, sel: np.ndarray, off: np.ndarray, stream: np.ndarray):
+        ends = np.concatenate([off[1:], [len(stream)]])
+        if len(sel) == 0:
+            return np.zeros(0, dtype=np.uint8)
+        return np.concatenate([stream[off[i]:ends[i]] for i in sel])
+
+    def decode_blocks(self, sel: np.ndarray, block_size: int):
+        """Decode selected blocks (indices into this chunk's block list).
+
+        Returns (local_docids, tfs, dls) as numpy arrays.
+        """
+        if len(sel) == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, z
+        sel = np.asarray(sel)
+        d = varint_decode(self._slices(sel, self.off_d, self._d)).astype(np.int64)
+        t = varint_decode(self._slices(sel, self.off_t, self._t)).astype(np.int64)
+        dl = varint_decode(self._slices(sel, self.off_l, self._l)).astype(np.int64)
+        # counts per selected block (start_idx ordinals + total sentinel)
+        all_ends = np.concatenate([self.start_idx[1:], [self._count_total()]])
+        counts = (all_ends - self.start_idx)[sel]
+        # delta -> absolute within block: first of each block is offset
+        # from block base, the rest are deltas (cumsum reset at heads).
+        heads = np.zeros(len(d), dtype=bool)
+        heads[np.cumsum(counts)[:-1]] = True
+        heads[0] = True
+        base_per_posting = np.repeat(
+            self.block_ids[sel].astype(np.int64) * block_size, counts
+        )
+        csum = np.cumsum(d)
+        head_pos = np.flatnonzero(heads)
+        offset = csum - np.repeat(csum[head_pos] - d[head_pos], counts)
+        local = base_per_posting + offset
+        return local, t, dl
+
+    def _count_total(self) -> int:
+        # total postings in chunk = number of tf varints
+        return int(((self._t & 0x80) == 0).sum())
+
+    def decode_all(self, block_size: int):
+        return self.decode_blocks(np.arange(self.n_blocks), block_size)
+
+
+def encode_group(
+    term_codes: np.ndarray,
+    local_docids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    n_terms: int,
+    block_size: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+):
+    """Encode MANY terms' postings in one vectorized pass.
+
+    Inputs must be sorted by (term_code, local_docid).  Returns, per
+    term (arrays/lists of length n_terms):
+    postings bytes, skips bytes, block_max bytes, max_factor, df.
+    """
+    n = len(term_codes)
+    if n == 0:
+        return [], [], [], np.zeros(0), np.zeros(0, dtype=np.int64)
+    term_codes = np.asarray(term_codes, dtype=np.int64)
+    local = np.asarray(local_docids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
+
+    block_ids = local // block_size
+    term_start = np.zeros(n, dtype=bool)
+    term_start[0] = True
+    term_start[1:] = term_codes[1:] != term_codes[:-1]
+    block_head = np.zeros(n, dtype=bool)
+    block_head[0] = True
+    block_head[1:] = (block_ids[1:] != block_ids[:-1]) | term_start[1:]
+
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = local[0] - block_ids[0] * block_size
+    deltas[1:] = local[1:] - local[:-1]
+    heads = np.flatnonzero(block_head)
+    deltas[heads] = local[heads] - block_ids[heads] * block_size
+
+    d_bytes, d_nb = varint_encode(deltas.astype(np.uint64))
+    t_bytes, t_nb = varint_encode(tfs.astype(np.uint64))
+    l_bytes, l_nb = varint_encode(dls.astype(np.uint64))
+    d_end = np.cumsum(d_nb)
+    t_end = np.cumsum(t_nb)
+    l_end = np.cumsum(l_nb)
+    d_start = d_end - d_nb
+    t_start = t_end - t_nb
+    l_start = l_end - l_nb
+
+    factors = tf_norm_factor(tfs, dls, k1, b, avgdl)
+    # per-block max factor (reduceat over block heads)
+    blk_max = np.maximum.reduceat(factors, heads)
+
+    term_head_pos = np.flatnonzero(term_start)
+    term_end_pos = np.concatenate([term_head_pos[1:], [n]])
+    dfs = term_end_pos - term_head_pos
+    # term-level max factor
+    term_max = np.maximum.reduceat(factors, term_head_pos)
+
+    # map each block head to its owning term
+    blk_term = np.searchsorted(term_head_pos, heads, side="right") - 1
+    n_blocks_per_term = np.bincount(blk_term, minlength=n_terms)
+    blk_term_first = np.concatenate([[0], np.cumsum(n_blocks_per_term)])[:-1]
+
+    postings_out: list[bytes] = []
+    skips_out: list[bytes] = []
+    blockmax_out: list[bytes] = []
+
+    d_all = d_bytes.tobytes()
+    t_all = t_bytes.tobytes()
+    l_all = l_bytes.tobytes()
+    for ti in range(n_terms):
+        p0, p1 = term_head_pos[ti], term_end_pos[ti]
+        db0, db1 = int(d_start[p0]), int(d_end[p1 - 1])
+        tb0, tb1 = int(t_start[p0]), int(t_end[p1 - 1])
+        lb0, lb1 = int(l_start[p0]), int(l_end[p1 - 1])
+        hdr = np.array([db1 - db0, tb1 - tb0], dtype=np.uint32).tobytes()
+        postings_out.append(hdr + d_all[db0:db1] + t_all[tb0:tb1] + l_all[lb0:lb1])
+
+        b0 = blk_term_first[ti]
+        b1 = b0 + n_blocks_per_term[ti]
+        hsel = heads[b0:b1]
+        sk = np.concatenate([
+            [n_blocks_per_term[ti]],
+            block_ids[hsel],
+            hsel - p0,                       # start posting ordinal
+            d_start[hsel] - d_start[p0],     # byte offsets, term-relative
+            t_start[hsel] - t_start[p0],
+            l_start[hsel] - l_start[p0],
+        ]).astype(np.int32)
+        skips_out.append(sk.tobytes())
+        blockmax_out.append(blk_max[b0:b1].tobytes())
+
+    return postings_out, skips_out, blockmax_out, term_max, dfs

@@ -1,0 +1,126 @@
+"""Block-max WAND top-k executor, per-slab, vectorized.
+
+Distributed shape (the ES analogy the reference relies on,
+SURVEY.md §3.1 step 4): each slab (docid-range shard) scores its own
+top-k with block-max pruning inside one ``applyInPandas`` group; the
+driver-side global merge is a TakeOrdered over (score desc, docid
+asc) — per-shard query + coordinating-node merge, Spark-native.
+
+Pruning (exact, batch/SIMD flavor of Block-Max WAND — Ding & Suel,
+"Faster top-k document retrieval using block-max indexes", SIGIR'11):
+the block grid is ALIGNED across terms (codec.py), so for block g the
+quantity  UB(g) = sum over query terms of idf_t * block_max_t(g)
+upper-bounds the score of every doc in g.  Blocks are processed in
+descending UB batches; once the running k-th best score theta exceeds
+the next block's UB, every remaining doc is provably out of the
+top-k (docs never span blocks, so scores complete within a batch).
+Stop rule is strict (UB < theta) so exact ties at the boundary are
+still examined — required for deterministic (score desc, docid asc)
+tie-breaking.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from search_engine_spark.indexer.codec import TermChunk, tf_norm_factor
+
+TOPK_SCHEMA = "docid long, score double"
+
+
+def slab_topk(
+    chunks: list[tuple[TermChunk, float]],
+    slab_base: int,
+    slab_size: int,
+    block_size: int,
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    bound_scale: float = 1.0,
+    batch_blocks: int = 64,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k of one slab. chunks = [(TermChunk, idf), ...] (same term
+    may appear in several chunks across generations — additive)."""
+    n_grid = (slab_size + block_size - 1) // block_size
+    ub = np.zeros(n_grid, dtype=np.float64)
+    for c, idf in chunks:
+        np.add.at(ub, c.block_ids, idf * c.block_max * bound_scale)
+    active = np.flatnonzero(ub > 0.0)
+    order = active[np.argsort(-ub[active], kind="stable")]
+
+    scores = np.zeros(slab_size, dtype=np.float64)
+    best_ids = np.zeros(0, dtype=np.int64)
+    best_scores = np.zeros(0, dtype=np.float64)
+    theta = -np.inf
+    pos = 0
+    while pos < len(order):
+        batch = order[pos:pos + batch_blocks]
+        if len(best_ids) >= k and ub[batch[0]] < theta:
+            break
+        # drop blocks in this batch already below theta (sorted desc)
+        if len(best_ids) >= k:
+            cut = np.searchsorted(-ub[batch], -theta, side="right")
+            batch = batch[:cut] if cut > 0 else batch[:1]
+        pos += len(batch)
+        touched_parts = []
+        for c, idf in chunks:
+            sel = np.flatnonzero(np.isin(c.block_ids, batch))
+            if len(sel) == 0:
+                continue
+            local, tf, dl = c.decode_blocks(sel, block_size)
+            contrib = idf * tf_norm_factor(tf, dl, k1, b, avgdl)
+            np.add.at(scores, local, contrib)
+            touched_parts.append(local)
+        if not touched_parts:
+            continue
+        touched = np.unique(np.concatenate(touched_parts))
+        cand_scores = scores[touched]
+        scores[touched] = 0.0  # reset buffer for next batch
+        best_ids = np.concatenate([best_ids, touched])
+        best_scores = np.concatenate([best_scores, cand_scores])
+        if len(best_ids) > k:
+            sel = np.lexsort((best_ids, -best_scores))[:k]
+            best_ids, best_scores = best_ids[sel], best_scores[sel]
+        if len(best_ids) >= k:
+            theta = best_scores.min()
+    sel = np.lexsort((best_ids, -best_scores))[:k]
+    return best_ids[sel] + slab_base, best_scores[sel]
+
+
+def make_slab_scorer(
+    slab_size: int,
+    block_size: int,
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    bound_scale: float = 1.0,
+):
+    """applyInPandas scorer: group = one slab's matching segment rows.
+
+    Input rows: (slab, term, idf, postings, skips, block_max).
+    Output: that slab's top-k (docid, score).
+    """
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        slab = int(pdf["slab"].iloc[0])
+        chunks = [
+            (TermChunk(r.postings, r.skips, r.block_max), float(r.idf))
+            for r in pdf.itertuples()
+        ]
+        ids, sc = slab_topk(
+            chunks,
+            slab * slab_size,
+            slab_size,
+            block_size,
+            k,
+            k1,
+            b,
+            avgdl,
+            bound_scale,
+        )
+        return pd.DataFrame({"docid": ids, "score": sc})
+
+    return score

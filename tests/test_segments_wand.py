@@ -1,0 +1,151 @@
+"""Segment build + per-slab block-max WAND: rank-identity vs oracle,
+WAND == exhaustive, resume, and LSM merge equivalence."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import EngineConfig
+from search_engine_spark.corpus import corpus_df, corpus_pandas
+from search_engine_spark.engine import SearchEngine
+from search_engine_spark.indexer.build import build_index
+from search_engine_spark.indexer.codec import TermChunk
+from search_engine_spark.indexer.merge import merge_segments
+from search_engine_spark.query.wand import slab_topk
+
+from tests.oracle import REFERENCE_QUERIES, OracleIndex
+
+N_DOCS = 800
+CFG = EngineConfig(slab_size=256, term_buckets=8, block_size=32)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return OracleIndex(corpus_pandas(N_DOCS).to_dict("records"))
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx"))
+    docs = corpus_df(spark, N_DOCS, partitions=8)
+    build_index(spark, docs, d, CFG)
+    return SearchEngine(spark, d)
+
+
+def test_wand_rank_identity_vs_oracle(engine, oracle):
+    for qid, q in REFERENCE_QUERIES.items():
+        got = [(r["docid"], r["score"]) for r in engine.search(q, 10).collect()]
+        want = oracle.search(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], f"{qid}"
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9), f"{qid}"
+
+
+def test_wand_hot_plus_tail(engine, oracle):
+    tail = min(t for t, p in oracle.postings.items() if len(p) == 1)
+    hot = max(oracle.postings.items(), key=lambda kv: len(kv[1]))[0]
+    q = f"{hot} {tail}"
+    got = [(r["docid"], r["score"]) for r in engine.search(q, 10).collect()]
+    want = oracle.search(q, 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_search_with_meta_joins_docmap(engine):
+    rows = engine.search_with_meta("java search", 5).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["path"] and r["repo"] and r["snippet"]
+
+
+def test_wand_equals_exhaustive_randomized(oracle):
+    """Property: pruned scorer == brute force on random term subsets."""
+    rng = np.random.default_rng(7)
+    terms_all = [t for t, p in oracle.postings.items() if len(p) > 0]
+    for trial in range(15):
+        n_q = int(rng.integers(1, 6))
+        terms = list(rng.choice(terms_all, size=n_q, replace=False))
+        q = " ".join(terms)
+        want = oracle.search(q, 10)
+        # exercised through the slab_topk kernel directly with a tiny
+        # grid to force many block boundaries
+        got = oracle_slab_scored(oracle, terms, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], terms
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-12)
+
+
+def oracle_slab_scored(oracle, terms, k):
+    """Run the real codec+WAND kernel over the oracle's postings."""
+    from search_engine_spark.indexer.codec import encode_group
+
+    slab_size, block_size = 1 << 20, 64
+    rows = []
+    terms_sorted = sorted(set(t for t in terms if t in oracle.postings))
+    for ti, t in enumerate(terms_sorted):
+        for docid, tf in sorted(oracle.postings[t].items()):
+            rows.append((ti, docid, tf, oracle.doclen[docid]))
+    if not rows:
+        return []
+    rows.sort()
+    tc = np.array([r[0] for r in rows])
+    ld = np.array([r[1] for r in rows])
+    tf = np.array([r[2] for r in rows])
+    dl = np.array([r[3] for r in rows])
+    p, s, bm, _, dfs = encode_group(
+        tc, ld, tf, dl, len(terms_sorted), block_size, 1.2, 0.75, oracle.avgdl
+    )
+    chunks = [
+        (TermChunk(p[i], s[i], bm[i]), oracle.idf(t))
+        for i, t in enumerate(terms_sorted)
+    ]
+    ids, sc = slab_topk(
+        chunks, 0, slab_size, block_size, k, 1.2, 0.75, oracle.avgdl,
+        batch_blocks=4,
+    )
+    return list(zip(ids.tolist(), sc.tolist()))
+
+
+def test_resume_after_injected_failure(spark, tmp_path_factory, oracle):
+    d = str(tmp_path_factory.mktemp("idx_resume"))
+    docs = corpus_df(spark, N_DOCS, partitions=8)
+    with pytest.raises(RuntimeError, match="injected"):
+        build_index(spark, docs, d, CFG, wave_size=1, fail_after_waves=2)
+    m = build_index(spark, docs, d, CFG, resume=True, wave_size=1)
+    assert m["resumed_skipped"] == 2
+    eng = SearchEngine(spark, d)
+    got = [(r["docid"], r["score"]) for r in eng.search("java search", 10).collect()]
+    want = oracle.search("java search", 10)
+    assert [x for x, _ in got] == [x for x, _ in want]
+
+
+def test_resumed_index_byte_identical(spark, tmp_path_factory, engine):
+    """Resumed build output == single-shot build output, byte for byte."""
+    d2 = str(tmp_path_factory.mktemp("idx2"))
+    docs = corpus_df(spark, N_DOCS, partitions=4)
+    with pytest.raises(RuntimeError):
+        build_index(spark, docs, d2, CFG, wave_size=2, fail_after_waves=1)
+    build_index(spark, docs, d2, CFG, resume=True, wave_size=2)
+
+    a = spark.read.parquet(f"{engine.index_dir}/segments")
+    b = spark.read.parquet(f"{d2}/segments")
+    pa = {(r["slab"], r["term"]): (bytes(r["postings"]), bytes(r["skips"]),
+                                   bytes(r["block_max"]))
+          for r in a.collect()}
+    pb = {(r["slab"], r["term"]): (bytes(r["postings"]), bytes(r["skips"]),
+                                   bytes(r["block_max"]))
+          for r in b.collect()}
+    assert pa == pb
+
+
+def test_lsm_merge_two_generations(spark, engine, oracle):
+    """Splitting postings into two gens + merge == single-gen segments."""
+    seg = spark.read.parquet(f"{engine.index_dir}/segments")
+    merged = merge_segments(
+        seg.withColumn("gen", (F.col("df") % 2).cast("int")),  # fake 2 gens
+        CFG,
+        float(engine.meta["avgdl"]),
+    )
+    pa = {(r["slab"], r["term"]): bytes(r["postings"]) for r in seg.collect()}
+    pb = {(r["slab"], r["term"]): bytes(r["postings"]) for r in merged.collect()}
+    assert pa == pb
