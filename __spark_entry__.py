@@ -28,6 +28,14 @@ BM25_QUERIES = {
     "bm25_q4": "zzznosuchterm data",
 }
 
+# Same queries through the REAL index path (sha-dedup -> compressed
+# segments -> per-slab block-max WAND); oracle twin adds the dedup CTE.
+WAND_QUERIES = {
+    "bm25_wand_q1": "key order merge scan",
+    "bm25_wand_q2": "group data row column",
+    "bm25_wand_q3": "slow",
+}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
@@ -45,6 +53,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     for name, text in BM25_QUERIES.items():
         q[name] = partial(C.q_bm25, query=text, k=10)
+    for name, text in WAND_QUERIES.items():
+        q[name] = partial(C.q_bm25_wand, query=text, k=10)
     return q
 
 
@@ -59,4 +69,6 @@ def oracle_sql() -> dict[str, str]:
     }
     for name, text in BM25_QUERIES.items():
         o[name] = O.bm25_topk_sql(text, 10)
+    for name, text in WAND_QUERIES.items():
+        o[name] = O.bm25_dedup_topk_sql(text, 10)
     return o

@@ -1,0 +1,127 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Measures, in one process:
+1. index-build throughput (docs/sec) on the deterministic synthetic
+   code corpus (FIXTURES.md) — scan -> dedup -> tokenize -> postings
+   -> compressed segments + lineage,
+2. BM25 top-10 latency for the reference query set (per-query,
+   single-query path),
+3. batch query throughput (all queries x paraphrases in ONE Spark
+   job via search_batch) — the cluster-throughput figure,
+4. the sf-dir contract queries (documents table).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_DOCS (default 40000).
+
+Run directly (`python bench.py`) or via spark-submit
+(`scripts/submit_bench.sh [cpus]`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_QUERIES = {
+    "q01": "java",
+    "q02": "python tutorial",
+    "q03": "search algorithm",
+    "q04": "database index merge",
+    "q05": "parse_token_id",
+    "q06": "QueryParserImpl",
+    "q07": "bug framework api",
+    "q08": "zzznosuchterm",
+    "q09": "java java java",
+    "q10": "the and of",
+    "q11": "java uniq0token",
+    "q12": "crawl rank page link doc term",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "40000"))
+
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.corpus import corpus_df
+    from search_engine_spark.engine import SearchEngine
+    from search_engine_spark.session import get_spark
+
+    spark = get_spark("bench", parallelism=cpus, shuffle_partitions=cpus)
+    queries: dict[str, float] = {}
+    extras: dict = {"parallelism": cpus, "bench_docs": n_docs}
+
+    # --- corpus (generation excluded from build timing; cached) ---
+    corpus_path = f"/tmp/sgb_corpus_{n_docs}"
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        corpus_df(spark, n_docs, partitions=cpus * 2).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
+    docs = spark.read.parquet(corpus_path)
+    spark.range(10).count()  # absorb session warm-up
+
+    # --- 1. index build ---
+    idx_dir = tempfile.mkdtemp(prefix="sgb_idx_")
+    cfg = EngineConfig(
+        slab_size=1024, term_buckets=16, block_size=128, build_partitions=cpus
+    )
+    t0 = time.time()
+    eng = SearchEngine.build(spark, docs, idx_dir, cfg)
+    build_sec = time.time() - t0
+    queries["index_build"] = round(build_sec, 3)
+    extras["docs_per_sec"] = round(n_docs / build_sec, 1)
+    extras["n_docs_indexed"] = eng.meta["n_docs"]
+
+    # --- 2. single-query latency ---
+    eng.segments.count()  # materialize cache once
+    for qid, q in REFERENCE_QUERIES.items():
+        t0 = time.time()
+        eng.search(q, 10).collect()
+        queries[qid] = round(time.time() - t0, 3)
+
+    # --- 3. batch throughput ---
+    batch = {}
+    for rep in range(4):
+        for qid, q in REFERENCE_QUERIES.items():
+            batch[f"{qid}_r{rep}"] = q
+    t0 = time.time()
+    eng.search_batch(batch, 10).count()
+    batch_sec = time.time() - t0
+    queries["batch_48q"] = round(batch_sec, 3)
+    extras["batch_qps"] = round(len(batch) / batch_sec, 1)
+
+    # --- 4. sf-dir contract queries ---
+    import __spark_entry__ as E
+
+    for name in ["term_counts", "bm25_q1", "bm25_wand_q1", "exact_dedup"]:
+        t0 = time.time()
+        E.queries()[name](spark, sf_dir).count()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf_dir.rstrip("/").split("/")[-1],
+                "extras": extras,
+            }
+        )
+    )
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,23 @@ class SearchEngine:
         return SearchEngine(spark, index_dir)
 
     # -- query -----------------------------------------------------------
+    def _pruned_segments(self, terms: list[str]):
+        """Segment scan pruned by term AND bucket.
+
+        Each segment file holds one bucket (see build.py), so the
+        bucket predicate — computed driver-side with the crc32 twin —
+        skips whole files via parquet min/max stats; the term
+        predicate then prunes row groups / rows.
+        """
+        from search_engine_spark.indexer.segments import term_bucket_py
+
+        buckets = sorted(
+            {term_bucket_py(t, int(self.meta["term_buckets"])) for t in terms}
+        )
+        return self.segments.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+
     def _idf_rows(self, terms: list[str]):
         n = float(self.meta["n_docs"])
         rows = (
@@ -65,7 +82,7 @@ class SearchEngine:
         if not terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         m = self.meta
-        seg = self.segments.filter(F.col("term").isin(terms)).select(
+        seg = self._pruned_segments(terms).select(
             "slab", "term", "postings", "skips", "block_max"
         )
         seg = seg.join(F.broadcast(self._idf_rows(terms)), "term")
@@ -81,6 +98,63 @@ class SearchEngine:
         )
         per_slab = seg.groupBy("slab").applyInPandas(scorer, schema=TOPK_SCHEMA)
         return per_slab.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+    def search_batch(self, queries: dict[str, str], k: int = 10) -> DataFrame:
+        """Score MANY queries in one job -> (qid, docid, score, rank).
+
+        The throughput path: a (qid, term, idf) broadcast joins the
+        segments scan once; (qid, slab) groups run WAND concurrently;
+        a per-qid ranking window takes the global top-k.
+        """
+        from search_engine_spark.query.wand import (
+            BATCH_TOPK_SCHEMA,
+            make_batch_slab_scorer,
+        )
+        from pyspark.sql import Window
+
+        m = self.meta
+        n = float(m["n_docs"])
+        q_terms = []
+        for qid, q in queries.items():
+            for t in tokenize_query(q):
+                q_terms.append((qid, t))
+        if not q_terms:
+            return self.spark.createDataFrame(
+                [], BATCH_TOPK_SCHEMA + ", rank int"
+            )
+        uniq_terms = list({t for _, t in q_terms})
+        qt = self.spark.createDataFrame(q_terms, "qid string, term string")
+        qt = qt.join(
+            self.df_table.filter(
+                F.col("term").isin(list({t for _, t in q_terms}))
+            ),
+            "term",
+        ).withColumn(
+            "idf",
+            F.log1p((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        ).select("qid", "term", "idf")
+        seg = self._pruned_segments(uniq_terms).select(
+            "slab", "term", "postings", "skips", "block_max"
+        )
+        joined = seg.join(F.broadcast(qt), "term")
+        bound_scale = max(1.0, float(m["avgdl"]) / float(m["norm_avgdl"]))
+        scorer = make_batch_slab_scorer(
+            int(m["slab_size"]),
+            int(m["block_size"]),
+            k,
+            float(m["k1"]),
+            float(m["b"]),
+            float(m["avgdl"]),
+            bound_scale,
+        )
+        per = joined.groupBy("qid", "slab").applyInPandas(
+            scorer, schema=BATCH_TOPK_SCHEMA
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            per.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
 
     def search_with_meta(self, query: str, k: int = 10) -> DataFrame:
         """Top-k decorated with path/repo metadata + snippet (F11)."""

@@ -67,29 +67,43 @@ def build_index(
     t0 = time.time()
     metrics: dict = {}
 
+    # One tokenize pass: docmap (with tokens) is persisted and feeds
+    # the docmap write, stats, postings, and df in a single lineage.
+    # On resume, tokens are recomputed deterministically from the
+    # docmap already on disk.
     docmap_path = f"{index_dir}/docmap"
-    if not (resume and _exists(docmap_path)):
-        docmap = build_docmap(docs, use_arrow_udf=use_arrow_udf)
-        docmap.select(*DOCMAP_COLS).write.mode("overwrite").parquet(docmap_path)
-    docmap_disk = spark.read.parquet(docmap_path)
-    # tokens are recomputed deterministically from content on resume
-    from search_engine_spark.tokenizer import tokens_col, tokens_udf_col
+    fresh = not (resume and _exists(docmap_path))
+    if fresh:
+        docmap_tok = build_docmap(docs, use_arrow_udf=use_arrow_udf)
+    else:
+        from search_engine_spark.tokenizer import tokens_col, tokens_udf_col
 
-    tok = tokens_udf_col("content") if use_arrow_udf else tokens_col("content")
-    docmap_tok = docmap_disk.withColumn("tokens", tok)
+        tok = tokens_udf_col("content") if use_arrow_udf else tokens_col("content")
+        docmap_tok = spark.read.parquet(docmap_path).withColumn("tokens", tok)
+    docmap_tok = docmap_tok.persist()
+    if fresh:
+        docmap_tok.select(*DOCMAP_COLS).write.mode("overwrite").parquet(
+            docmap_path
+        )
+    metrics["t_docmap"] = round(time.time() - t0, 2)
 
     stats_path = f"{index_dir}/stats"
     if not (resume and _exists(stats_path)):
-        build_stats(docmap_disk).write.mode("overwrite").parquet(stats_path)
+        build_stats(docmap_tok).write.mode("overwrite").parquet(stats_path)
     n_docs, avgdl = spark.read.parquet(stats_path).collect()[0]
     n_docs, avgdl = int(n_docs), float(avgdl)
     metrics["n_docs"] = n_docs
     metrics["avgdl"] = avgdl
+    metrics["t_stats"] = round(time.time() - t0, 2)
 
     postings = build_postings(docmap_tok)
+    keyed = postings_with_keys(postings, cfg).persist()
+
     df_path = f"{index_dir}/df"
     if not (resume and _exists(df_path)):
-        build_df_table(postings).write.mode("overwrite").parquet(df_path)
+        build_df_table(keyed).write.mode("overwrite").parquet(df_path)
+    docmap_tok.unpersist()
+    metrics["t_df"] = round(time.time() - t0, 2)
 
     n_slabs = max(1, math.ceil(n_docs / cfg.slab_size))
     done = L.completed_slabs(spark, index_dir) if resume else set()
@@ -98,8 +112,6 @@ def build_index(
     metrics["resumed_skipped"] = n_slabs - len(remaining)
 
     wave_size = wave_size or len(remaining) or 1
-    keyed = postings_with_keys(postings, cfg)
-    keyed.persist()
     try:
         waves = [
             remaining[i:i + wave_size]
@@ -113,12 +125,11 @@ def build_index(
             seg = build_segments(
                 keyed.filter(F.col("slab").isin(wave)), cfg, avgdl, gen=0
             )
-            (
-                seg.repartition(max(1, len(wave)), "slab")
-                .write.mode("overwrite")
-                .partitionBy("slab")
-                .parquet(seg_path)
-            )
+            # No repartition: each applyInPandas task holds one
+            # (slab, bucket) group, so partitionBy(slab) yields one
+            # file per bucket per slab — min/max stats on the bucket
+            # column then let query scans skip whole files.
+            seg.write.mode("overwrite").partitionBy("slab").parquet(seg_path)
             back = spark.read.parquet(seg_path).filter(F.col("slab").isin(wave))
             wave_stats = {
                 r["slab"]: (r["rows"], r["bytes"])
@@ -146,6 +157,7 @@ def build_index(
             )
     finally:
         keyed.unpersist()
+    metrics["t_segments"] = round(time.time() - t0, 2)
 
     meta = {
         "slab_size": cfg.slab_size,

@@ -31,12 +31,27 @@ SEGMENT_SCHEMA = (
 )
 
 
+def term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side twin of the bucket hash (crc32 mod buckets).
+
+    crc32 is chosen over xxhash64 because Python's zlib.crc32 matches
+    Spark's F.crc32 bit-for-bit, letting the query planner compute the
+    bucket set for the query terms WITHOUT a Spark job and prune
+    segment files (each segment file holds exactly one bucket)."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
 def postings_with_keys(postings: DataFrame, cfg: EngineConfig) -> DataFrame:
     """Add (slab, bucket) shuffle keys to a postings DataFrame."""
     return postings.withColumn(
         "slab", (F.col("docid") / cfg.slab_size).cast("int")
     ).withColumn(
-        "bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.term_buckets)).cast("int")
+        "bucket",
+        F.pmod(
+            F.crc32(F.col("term").cast("binary")), F.lit(cfg.term_buckets)
+        ).cast("int"),
     )
 
 

@@ -83,6 +83,37 @@ def bm25_topk_sql(query: str, k: int = 10) -> str:
     )
 
 
+def bm25_dedup_topk_sql(query: str, k: int = 10) -> str:
+    """BM25 top-k over the sha256-deduped survivor set — the oracle
+    twin of the engine's real index path (dedup -> segments -> WAND)."""
+    terms = tokenize_query(query)
+    if not terms:
+        return "SELECT CAST(NULL AS BIGINT) AS docid, CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+    terms_in = ", ".join(f"'{t}'" for t in terms)
+    return (
+        "WITH surv AS (SELECT doc_id, text FROM documents "
+        "QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1), "
+        "toks AS (SELECT doc_id AS docid, "
+        f"{duckdb_tokens_sql('text')} AS toks FROM surv), "
+        "tl AS (SELECT docid, toks, len(toks) AS doclen FROM toks), "
+        "exploded AS (SELECT docid, doclen, unnest(toks) AS term FROM tl), "
+        "postings AS (SELECT term, docid, CAST(count(*) AS INT) AS tf, "
+        "doclen FROM exploded GROUP BY term, docid, doclen), "
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, "
+        "avg(doclen) AS avgdl FROM tl), "
+        "dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings "
+        f"WHERE term IN ({terms_in}) GROUP BY term), "
+        "scored AS (SELECT p.docid, "
+        "SUM(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * "
+        f"(p.tf * ({BM25_K1} + 1.0) / (p.tf + {BM25_K1} * "
+        f"(1.0 - {BM25_B} + {BM25_B} * p.doclen / s.avgdl)))) AS raw "
+        "FROM postings p JOIN dfs d ON p.term = d.term CROSS JOIN stats s "
+        f"WHERE p.term IN ({terms_in}) GROUP BY p.docid) "
+        "SELECT docid, ROUND(raw, 4) AS score FROM scored "
+        f"ORDER BY raw DESC, docid LIMIT {k}"
+    )
+
+
 def exact_dedup_sql() -> str:
     """Survivors of sha256 exact dedup (min doc_id per content sha)."""
     return (

@@ -89,6 +89,49 @@ def slab_topk(
     return best_ids[sel] + slab_base, best_scores[sel]
 
 
+BATCH_TOPK_SCHEMA = "qid string, docid long, score double"
+
+
+def make_batch_slab_scorer(
+    slab_size: int,
+    block_size: int,
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    bound_scale: float = 1.0,
+):
+    """applyInPandas scorer for (qid, slab) groups — multi-query batch.
+
+    One Spark job scores MANY queries: segments join the (qid, term,
+    idf) table, groups are (qid, slab).  This is how query
+    *throughput* scales on a cluster: queries fan out across slabs
+    and each other, amortizing job overhead.
+    """
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        slab = int(pdf["slab"].iloc[0])
+        qid = pdf["qid"].iloc[0]
+        chunks = [
+            (TermChunk(r.postings, r.skips, r.block_max), float(r.idf))
+            for r in pdf.itertuples()
+        ]
+        ids, sc = slab_topk(
+            chunks,
+            slab * slab_size,
+            slab_size,
+            block_size,
+            k,
+            k1,
+            b,
+            avgdl,
+            bound_scale,
+        )
+        return pd.DataFrame({"qid": qid, "docid": ids, "score": sc})
+
+    return score
+
+
 def make_slab_scorer(
     slab_size: int,
     block_size: int,

@@ -51,6 +51,20 @@ def test_wand_hot_plus_tail(engine, oracle):
     assert [d for d, _ in got] == [d for d, _ in want]
 
 
+def test_search_batch_matches_single(engine, oracle):
+    qs = {qid: q for qid, q in REFERENCE_QUERIES.items()}
+    out = engine.search_batch(qs, 10).collect()
+    by_qid = {}
+    for r in out:
+        by_qid.setdefault(r["qid"], []).append((r["rank"], r["docid"], r["score"]))
+    for qid, q in qs.items():
+        want = oracle.search(q, 10)
+        got = sorted(by_qid.get(qid, []))
+        assert [d for _, d, _ in got] == [d for d, _ in want], qid
+        for (_, _, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9), qid
+
+
 def test_search_with_meta_joins_docmap(engine):
     rows = engine.search_with_meta("java search", 5).collect()
     assert len(rows) == 5
