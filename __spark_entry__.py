@@ -19,7 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession
 
 from search_engine_spark import contract as C
+from search_engine_spark import contract_ops as CO
 from search_engine_spark.oracle import sqlgen as O
+from search_engine_spark.oracle import sqlgen_ops as OO
 
 BM25_QUERIES = {
     "bm25_q1": "key order merge scan",
@@ -55,6 +57,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[name] = partial(C.q_bm25, query=text, k=10)
     for name, text in WAND_QUERIES.items():
         q[name] = partial(C.q_bm25_wand, query=text, k=10)
+    q.update(
+        {
+            "simhash_fp": CO.q_simhash_fp,
+            "simhash_neardup": CO.q_simhash_neardup,
+            "minhash_sig": CO.q_minhash_sig,
+            "minhash_neardup": CO.q_minhash_neardup,
+            "lang_id": CO.q_lang_id,
+            "token_counts": CO.q_token_counts,
+            "fingerprint": CO.q_fingerprint,
+            "cosine_topk": CO.q_cosine_topk,
+            "ann_sign_lsh": CO.q_ann_sign_lsh,
+            "ann_ivf": CO.q_ann_ivf,
+            "cosine_neardup": CO.q_cosine_neardup,
+            "pagerank": CO.q_pagerank,
+            "diversify_by_source": CO.q_diversify_by_source,
+            "spell_suggest": CO.q_spell_suggest,
+            "status_rollup": CO.q_status_rollup,
+            "top_customers": CO.q_top_customers,
+            "freshness_decay": CO.q_freshness_decay,
+            "events_windowed": CO.q_events_windowed,
+            "sessionize": CO.q_sessionize,
+        }
+    )
     return q
 
 
@@ -71,4 +96,27 @@ def oracle_sql() -> dict[str, str]:
         o[name] = O.bm25_topk_sql(text, 10)
     for name, text in WAND_QUERIES.items():
         o[name] = O.bm25_dedup_topk_sql(text, 10)
+    o.update(
+        {
+            "simhash_fp": OO.simhash_fp_sql(),
+            "simhash_neardup": OO.simhash_neardup_sql(),
+            "minhash_sig": OO.minhash_sig_sql(),
+            "minhash_neardup": OO.minhash_neardup_sql(),
+            "lang_id": OO.lang_id_sql(),
+            "token_counts": OO.token_counts_sql(),
+            "fingerprint": OO.fingerprint_sql(),
+            "cosine_topk": OO.cosine_topk_sql(),
+            "ann_sign_lsh": OO.ann_sign_lsh_sql(),
+            "ann_ivf": OO.ann_ivf_sql(),
+            "cosine_neardup": OO.cosine_neardup_sql(),
+            "pagerank": OO.pagerank_sql(),
+            "diversify_by_source": OO.diversify_by_source_sql(),
+            "spell_suggest": OO.spell_suggest_sql(),
+            "status_rollup": OO.status_rollup_sql(),
+            "top_customers": OO.top_customers_sql(),
+            "freshness_decay": OO.freshness_decay_sql(),
+            "events_windowed": OO.events_windowed_sql(),
+            "sessionize": OO.sessionize_sql(),
+        }
+    )
     return o

@@ -1,0 +1,248 @@
+"""Spark-side driver-contract queries for the ops/ operators
+(dedup family, similarity search, text analysis, graph, windowed
+aggregation).  DuckDB twins live in oracle/sqlgen_ops.py; constants
+are shared via ops/params.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from search_engine_spark.contract import (
+    documents_postings,
+    documents_tokenized,
+    load,
+)
+from search_engine_spark.ops import graph, minhash, simhash, textstats
+from search_engine_spark.ops import similarity as sim
+
+
+# --- SimHash ---------------------------------------------------------------
+
+def q_simhash_fp(spark, sf_dir) -> DataFrame:
+    p = documents_postings(spark, sf_dir).select("term", "docid", "tf")
+    return simhash.simhash_fingerprints(p).orderBy("docid")
+
+
+def q_simhash_neardup(spark, sf_dir) -> DataFrame:
+    p = documents_postings(spark, sf_dir).select("term", "docid", "tf")
+    fp = simhash.simhash_fingerprints(p)
+    return simhash.neardup_pairs(fp).orderBy("docid_a", "docid_b")
+
+
+# --- MinHash ---------------------------------------------------------------
+
+def _docs_toks(spark, sf_dir):
+    return documents_tokenized(spark, sf_dir).select("docid", F.col("toks"))
+
+
+def q_minhash_sig(spark, sf_dir) -> DataFrame:
+    return minhash.minhash_signatures(_docs_toks(spark, sf_dir)).orderBy(
+        "docid", "i"
+    )
+
+
+def q_minhash_neardup(spark, sf_dir) -> DataFrame:
+    return minhash.neardup_pairs(_docs_toks(spark, sf_dir)).orderBy(
+        "docid_a", "docid_b"
+    )
+
+
+# --- Text stats ------------------------------------------------------------
+
+def q_lang_id(spark, sf_dir) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("docid"), "text"
+    )
+    return textstats.language_id(d, "text").orderBy("docid")
+
+
+def q_token_counts(spark, sf_dir) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("docid"), "text"
+    )
+    return textstats.token_counts(d, "text").orderBy("docid")
+
+
+def q_fingerprint(spark, sf_dir) -> DataFrame:
+    return textstats.fingerprints(_docs_toks(spark, sf_dir)).orderBy("docid")
+
+
+# --- Embedding similarity --------------------------------------------------
+
+def _emb(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings")
+
+
+def q_cosine_topk(spark, sf_dir) -> DataFrame:
+    return sim.brute_topk(_emb(spark, sf_dir), 0, 10)
+
+
+def q_ann_sign_lsh(spark, sf_dir) -> DataFrame:
+    return sim.ann_sign_lsh(_emb(spark, sf_dir), 0, 10)
+
+
+def q_ann_ivf(spark, sf_dir) -> DataFrame:
+    return sim.ann_ivf(_emb(spark, sf_dir), 0, 10)
+
+
+def q_cosine_neardup(spark, sf_dir) -> DataFrame:
+    return sim.cosine_neardup_pairs(_emb(spark, sf_dir)).orderBy(
+        "vec_a", "vec_b"
+    )
+
+
+# --- Graph -----------------------------------------------------------------
+
+def q_pagerank(spark, sf_dir) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").cast("long").alias("src"),
+            (F.col("o_custkey") + 100000).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    pr = graph.pagerank(edges)
+    return pr.select("node", F.round("score", 8).alias("score")).orderBy(
+        "node"
+    )
+
+
+# --- Windows / relational coverage ----------------------------------------
+
+def q_diversify_by_source(spark, sf_dir) -> DataFrame:
+    """W5: max 2 results per source, then global top-10 by quality."""
+    from search_engine_spark.contract import q_quality_score
+
+    quality = q_quality_score(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("docid"), "source"
+    )
+    j = quality.join(d, "docid")
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("docid"))
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 2)
+        .orderBy(F.desc("quality"), F.asc("docid"))
+        .limit(10)
+        .select("docid", "source", "quality")
+    )
+
+
+def q_spell_suggest(spark, sf_dir) -> DataFrame:
+    """X5: closest dictionary term (levenshtein <= 2) per misspelling."""
+    words = spark.createDataFrame(
+        [("tabl",), ("qery",), ("datt",), ("sparkk",)], "word string"
+    )
+    terms = documents_postings(spark, sf_dir).select("term").distinct()
+    j = words.crossJoin(terms).withColumn(
+        "dist", F.levenshtein("word", "term")
+    ).filter(F.col("dist") <= 2)
+    w = Window.partitionBy("word").orderBy(F.asc("dist"), F.asc("term"))
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("word", F.col("term").alias("suggestion"), "dist")
+        .orderBy("word")
+    )
+
+
+def q_status_rollup(spark, sf_dir) -> DataFrame:
+    """A6: count-by-status rollup (crawl frontier analog)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q_top_customers(spark, sf_dir) -> DataFrame:
+    """W1 top-N + J1 broadcast join chain customer->nation->region."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("custkey"),
+            "revenue",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .limit(10)
+    )
+
+
+def q_freshness_decay(spark, sf_dir) -> DataFrame:
+    """X8: exp freshness decay e^(-0.01*days) blended with price."""
+    o = load(spark, sf_dir, "orders")
+    days = F.datediff(F.lit("1998-12-01").cast("date"), F.col("o_orderdate"))
+    decayed = F.col("o_totalprice") * F.exp(-0.01 * days.cast("double"))
+    # compare in thousandths: exp() differs between engines in the
+    # last ulp, which at 1e10 magnitudes is ~1e-4 absolute — too big
+    # for round(x, 4) hash-equality; /1000 leaves 1e4 safety margin.
+    return (
+        o.select(
+            F.col("o_orderkey").cast("long").alias("orderkey"),
+            F.round(decayed / 1000.0, 3).alias("decayed_k"),
+        )
+        .orderBy(F.desc("decayed_k"), F.asc("orderkey"))
+        .limit(20)
+    )
+
+
+def q_events_windowed(spark, sf_dir) -> DataFrame:
+    """Tumbling 1-hour event-time window x event_type (batch form of
+    the streaming windowed agg; see streaming/ for the readStream twin)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def q_sessionize(spark, sf_dir) -> DataFrame:
+    """Sessionization: 30-min-gap sessions per user (lag + cumsum)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0)
+    sess = e.withColumn("new_sess", F.coalesce(gap, F.lit(0))).withColumn(
+        "session", F.sum("new_sess").over(w)
+    )
+    return (
+        sess.groupBy("user_id", "session")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.max("n_events").cast("long").alias("max_session_events"),
+            F.round(F.sum("session_value"), 4).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,65 @@
+"""PageRank as iterative DataFrame joins (reference J5/A3/A4/A5).
+
+Reference semantics (PageRankCalculator.java:17-18,43-58,67-103):
+power iteration, d=0.85, per-node score (1-d) + d * sum over
+in-neighbors of PR(T)/outdeg(T); final normalization by global sum
+(:108-123).  The reference runs epsilon-converged (<=100 iters)
+in-memory; the engine runs a FIXED iteration count so the DuckDB
+oracle can unroll the same loop exactly.
+
+Scale shape: edges pre-aggregated to (src, dst) distinct; the loop is
+join(ranks, edges on src) -> groupBy(dst).sum -> join full node set.
+On a cluster, ranks and edges co-partition on the join key across
+iterations; `checkpoint()` every ~5 iterations cuts lineage growth
+for long runs (not needed at 5 iters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops.params import PAGERANK_D, PAGERANK_ITERS
+
+
+def pagerank(
+    edges: DataFrame,
+    d: float = PAGERANK_D,
+    iters: int = PAGERANK_ITERS,
+    normalize: bool = True,
+) -> DataFrame:
+    """edges(src, dst) -> (node, score).  Deterministic, fixed iters."""
+    edges = edges.select("src", "dst").distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.withColumn("score", F.lit(1.0))
+    for _ in range(iters):
+        contribs = (
+            ranks.join(edges, ranks.node == edges.src)
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("score") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - d) + F.lit(d) * F.coalesce("csum", F.lit(0.0))
+                ).alias("score"),
+            )
+        )
+    if normalize:
+        total = ranks.agg(F.sum("score").alias("t"))
+        ranks = ranks.crossJoin(F.broadcast(total)).select(
+            "node", (F.col("score") / F.col("t")).alias("score")
+        )
+    return ranks

@@ -1,0 +1,57 @@
+"""Shared constants for the training-data pipeline operators.
+
+Single source of truth for every seed/prime/threshold used by BOTH
+the Spark implementations and the generated DuckDB oracle SQL —
+numeric drift between the two sides would break the driver's
+value-hash comparison.
+"""
+
+from __future__ import annotations
+
+# --- SimHash (reference SimHashService.java:23,28-61) ---
+SIMHASH_BITS = 64
+SIMHASH_HAMMING_THRESHOLD = 3     # SimHashService.java:23
+SIMHASH_BANDS = 4                 # docs/advanced-deep-dive.md:349-390
+SIMHASH_BAND_BITS = 16
+
+# --- MinHash / LSH ---
+MINHASH_K = 16                    # signature length
+MINHASH_BANDS = 4                 # 4 bands x 4 rows
+MINHASH_ROWS = 4
+MINHASH_PRIME = 1_000_000_007     # int32 prime; keeps products < 2^63
+SHINGLE_N = 3
+# Deterministic affine hash params a_i, b_i (generated once, frozen).
+# a_i odd, in [1, 2^30); b_i in [0, 2^30).
+MINHASH_A = [
+    754974721, 377487361, 188743681, 94371841, 47185921, 23592961,
+    11796481, 5898241, 2949121, 1474561, 737281, 368641, 184321,
+    92161, 46081, 23041,
+]
+MINHASH_B = [
+    99991, 199933, 299993, 399989, 499979, 599999, 699967, 799999,
+    899981, 999983, 1099997, 1199999, 1299989, 1399999, 1499993,
+    1599989,
+]
+
+# --- n-gram Jaccard near-dup ---
+JACCARD_THRESHOLD = 0.5
+
+# --- Embedding similarity ---
+ANN_SIGN_DIMS = 8                 # sign-LSH bucket over first 8 dims
+IVF_CENTROIDS = 16                # vec_id 0..15 act as coarse centroids
+IVF_PROBES = 2
+COSINE_DUP_THRESHOLD = 0.95
+
+# --- Text stats ---
+# Marker words for the n-gram/stopword language-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "with", "for", "this", "that", "from"),
+    "de": ("der", "die", "das", "und", "mit", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "des", "est", "pas", "une"),
+    "es": ("el", "los", "las", "que", "con", "por", "para", "una"),
+}
+FP_PRIME = 1_000_000_007          # fingerprint modulus
+
+# --- PageRank (PageRankCalculator.java:16-18) ---
+PAGERANK_D = 0.85
+PAGERANK_ITERS = 5                # unrolled in the SQL oracle

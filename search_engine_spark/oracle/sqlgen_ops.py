@@ -1,0 +1,411 @@
+"""DuckDB oracle SQL for the ops/ contract queries.
+
+Structure and constants mirror contract_ops.py exactly (shared via
+ops/params.py).  All hashing is md5-based so both engines agree
+bit-for-bit; floats are rounded on output.
+"""
+
+from __future__ import annotations
+
+from search_engine_spark.oracle.sqlgen import postings_cte, toks_cte
+from search_engine_spark.ops.params import (
+    ANN_SIGN_DIMS,
+    COSINE_DUP_THRESHOLD,
+    FP_PRIME,
+    IVF_CENTROIDS,
+    IVF_PROBES,
+    JACCARD_THRESHOLD,
+    LANG_MARKERS,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_K,
+    MINHASH_PRIME,
+    MINHASH_ROWS,
+    PAGERANK_D,
+    PAGERANK_ITERS,
+    SHINGLE_N,
+    SIMHASH_BAND_BITS,
+    SIMHASH_BANDS,
+    SIMHASH_HAMMING_THRESHOLD,
+)
+
+_P = MINHASH_PRIME
+
+
+# --- SimHash ---------------------------------------------------------------
+
+def _simhash_fp_cte() -> str:
+    return (
+        postings_cte() + ", "
+        "sterms AS (SELECT DISTINCT term FROM postings), "
+        "term_bits AS (SELECT term, g.b, "
+        "((strpos('0123456789abcdef', substr(md5(term), (g.b // 4) + 1, 1)) - 1)"
+        " >> (3 - (g.b % 4))) & 1 AS bit "
+        "FROM sterms CROSS JOIN generate_series(0, 63) g(b)), "
+        "per_bit AS (SELECT p.docid, tb.b, SUM(p.tf * (2 * tb.bit - 1)) AS s "
+        "FROM postings p JOIN term_bits tb USING (term) "
+        "GROUP BY p.docid, tb.b), "
+        "fp AS (SELECT docid, bit_or(CASE WHEN s > 0 THEN "
+        "CASE WHEN b = 0 THEN -9223372036854775807 - 1 "
+        "ELSE (1::BIGINT << (63 - b)) END ELSE 0 END) AS simhash "
+        "FROM per_bit GROUP BY docid)"
+    )
+
+
+def simhash_fp_sql() -> str:
+    return (
+        "WITH " + _simhash_fp_cte() + " "
+        "SELECT docid, simhash FROM fp ORDER BY docid"
+    )
+
+
+def simhash_neardup_sql() -> str:
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    return (
+        "WITH " + _simhash_fp_cte() + ", "
+        f"bands AS (SELECT docid, simhash, g.band, "
+        f"(simhash >> (g.band * {SIMHASH_BAND_BITS})) & {mask} AS band_val "
+        f"FROM fp CROSS JOIN generate_series(0, {SIMHASH_BANDS - 1}) g(band)), "
+        "cand AS (SELECT DISTINCT a.docid AS docid_a, b.docid AS docid_b, "
+        "a.simhash AS sim_a, b.simhash AS sim_b "
+        "FROM bands a JOIN bands b "
+        "ON a.band = b.band AND a.band_val = b.band_val "
+        "AND a.docid < b.docid) "
+        "SELECT docid_a, docid_b, "
+        "CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming FROM cand "
+        f"WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_HAMMING_THRESHOLD} "
+        "ORDER BY docid_a, docid_b"
+    )
+
+
+# --- MinHash ---------------------------------------------------------------
+
+def _shingles_cte() -> str:
+    n = SHINGLE_N
+    return (
+        toks_cte() + ", "
+        "sh0 AS (SELECT docid, CASE WHEN len(toks) < {n} "
+        "THEN [array_to_string(toks, ' ')] "
+        "ELSE list_transform(generate_series(1, len(toks) - {n} + 1), "
+        "i -> array_to_string(toks[i:i+{nm1}], ' ')) END AS shingles "
+        "FROM tl), "
+        "sh AS (SELECT docid, unnest(list_distinct(shingles)) AS shingle "
+        "FROM sh0), "
+        "shh AS (SELECT docid, shingle, "
+        "(('0x' || substr(md5(shingle), 1, 15))::BIGINT) % {p} AS hm FROM sh)"
+    ).format(n=n, nm1=n - 1, p=_P)
+
+
+def _seeds_values() -> str:
+    rows = ", ".join(
+        f"({i}, {MINHASH_A[i]}, {MINHASH_B[i]}, {31 ** (i % MINHASH_ROWS)})"
+        for i in range(MINHASH_K)
+    )
+    return f"seeds(i, a, b, pow31) AS (SELECT * FROM (VALUES {rows}))"
+
+
+def _sig_cte() -> str:
+    return (
+        _shingles_cte() + ", " + _seeds_values() + ", "
+        f"sig AS (SELECT docid, s.i, MIN((s.a * hm + s.b) % {_P}) AS minhash "
+        "FROM shh CROSS JOIN seeds s GROUP BY docid, s.i)"
+    )
+
+
+def minhash_sig_sql() -> str:
+    return (
+        "WITH " + _sig_cte() + " "
+        "SELECT docid, i, minhash FROM sig ORDER BY docid, i"
+    )
+
+
+def minhash_neardup_sql() -> str:
+    r = MINHASH_ROWS
+    return (
+        "WITH " + _sig_cte() + ", "
+        f"bands AS (SELECT docid, i // {r} AS band, "
+        f"SUM((minhash % {_P}) * CAST(31 ** (i % {r}) AS BIGINT)) % {_P} AS band_val "
+        "FROM sig GROUP BY docid, i // {r}), ".format(r=r) +
+        "cand AS (SELECT DISTINCT a.docid AS docid_a, b.docid AS docid_b "
+        "FROM bands a JOIN bands b ON a.band = b.band "
+        "AND a.band_val = b.band_val AND a.docid < b.docid), "
+        "sets_ AS (SELECT docid, list_sort(list_distinct(shingles)) AS sh "
+        "FROM sh0), "
+        "verified AS (SELECT c.docid_a, c.docid_b, "
+        "len(list_intersect(sa.sh, sb.sh)) * 1.0 / "
+        "len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard "
+        "FROM cand c JOIN sets_ sa ON sa.docid = c.docid_a "
+        "JOIN sets_ sb ON sb.docid = c.docid_b) "
+        "SELECT docid_a, docid_b, ROUND(jaccard, 5) AS jaccard FROM verified "
+        f"WHERE jaccard >= {JACCARD_THRESHOLD} ORDER BY docid_a, docid_b"
+    )
+
+
+# --- Text stats ------------------------------------------------------------
+
+def lang_id_sql() -> str:
+    rows = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang, words in sorted(LANG_MARKERS.items())
+        for w in words
+    )
+    return (
+        "WITH tl AS (SELECT doc_id AS docid FROM documents), "
+        f"markers(lang_pred, marker) AS (SELECT * FROM (VALUES {rows})), "
+        "ex AS (SELECT doc_id AS docid, unnest(list_filter("
+        "string_split_regex(lower(text), '[^a-z]+'), x -> len(x) > 0)) "
+        "AS term FROM documents), "
+        "hits AS (SELECT e.docid, m.lang_pred, "
+        "CAST(count(*) AS BIGINT) AS hits "
+        "FROM ex e JOIN markers m ON e.term = m.marker "
+        "GROUP BY e.docid, m.lang_pred), "
+        "best AS (SELECT docid, lang_pred, hits FROM hits "
+        "QUALIFY row_number() OVER (PARTITION BY docid "
+        "ORDER BY hits DESC, lang_pred) = 1) "
+        "SELECT t.docid, coalesce(b.lang_pred, 'und') AS lang_pred, "
+        "CAST(coalesce(b.hits, 0) AS BIGINT) AS hits "
+        "FROM tl t LEFT JOIN best b ON b.docid = t.docid ORDER BY t.docid"
+    )
+
+
+def token_counts_sql() -> str:
+    return (
+        "SELECT doc_id AS docid, "
+        "CAST(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE "
+        "len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) "
+        "AS ws_tokens, "
+        "CAST(len(list_filter(string_split_regex(lower(text), "
+        "'[^a-z0-9]+'), x -> len(x) > 0)) AS BIGINT) AS alnum_tokens, "
+        "CAST(length(text) AS BIGINT) AS n_chars "
+        "FROM documents ORDER BY docid"
+    )
+
+
+def fingerprint_sql() -> str:
+    return (
+        "WITH " + toks_cte() + ", "
+        "ex AS (SELECT docid, unnest(toks) AS term, "
+        "unnest(range(1, len(toks) + 1)) AS pos FROM tl), "
+        "h AS (SELECT docid, pos, "
+        f"(('0x' || substr(md5(term), 1, 15))::BIGINT) % {FP_PRIME} AS hv "
+        "FROM ex) "
+        "SELECT t.docid, CAST(coalesce(s.fp, 0) AS BIGINT) AS fingerprint "
+        "FROM tl t LEFT JOIN (SELECT docid, "
+        f"SUM((hv * pos) % {FP_PRIME}) % {FP_PRIME} AS fp "
+        "FROM h GROUP BY docid) s ON s.docid = t.docid ORDER BY t.docid"
+    )
+
+
+# --- Embeddings ------------------------------------------------------------
+
+def _cosine_expr(a: str, b: str) -> str:
+    """Index-ordered dot/norms, identical op order to the Spark side."""
+    return (
+        f"list_aggregate(list_transform(generate_series(1, len({a})), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), 'sum') / "
+        f"(sqrt(list_aggregate(list_transform({a}, "
+        f"x -> x::DOUBLE * x::DOUBLE), 'sum')) * "
+        f"sqrt(list_aggregate(list_transform({b}, "
+        f"x -> x::DOUBLE * x::DOUBLE), 'sum')))"
+    )
+
+
+def cosine_topk_sql(k: int = 10) -> str:
+    return (
+        "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
+        "SELECT CAST(e.vec_id AS BIGINT) AS vec_id, "
+        f"ROUND({_cosine_expr('e.embedding', 'q.qe')}, 5) AS cosine "
+        "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0 "
+        f"ORDER BY {_cosine_expr('e.embedding', 'q.qe')} DESC, e.vec_id "
+        f"LIMIT {k}"
+    )
+
+
+def _sign_bucket_expr(col: str) -> str:
+    parts = " + ".join(
+        f"(CASE WHEN {col}[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(ANN_SIGN_DIMS)
+    )
+    return f"({parts})"
+
+
+def ann_sign_lsh_sql(k: int = 10) -> str:
+    return (
+        "WITH be AS (SELECT vec_id, embedding, "
+        f"{_sign_bucket_expr('embedding')} AS bucket FROM embeddings), "
+        "q AS (SELECT embedding AS qe, bucket AS qbucket FROM be "
+        "WHERE vec_id = 0) "
+        "SELECT CAST(e.vec_id AS BIGINT) AS vec_id, "
+        f"ROUND({_cosine_expr('e.embedding', 'q.qe')}, 5) AS cosine "
+        "FROM be e CROSS JOIN q WHERE e.bucket = q.qbucket AND e.vec_id <> 0 "
+        f"ORDER BY {_cosine_expr('e.embedding', 'q.qe')} DESC, e.vec_id "
+        f"LIMIT {k}"
+    )
+
+
+def _l2_expr(a: str, b: str) -> str:
+    return (
+        f"list_aggregate(list_transform(generate_series(1, len({a})), "
+        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * "
+        f"({a}[i]::DOUBLE - {b}[i]::DOUBLE)), 'sum')"
+    )
+
+
+def ann_ivf_sql(k: int = 10) -> str:
+    return (
+        "WITH cent AS (SELECT vec_id AS cid, embedding AS ce "
+        f"FROM embeddings WHERE vec_id < {IVF_CENTROIDS}), "
+        "assigned AS (SELECT e.vec_id, e.embedding, c.cid, "
+        f"{_l2_expr('e.embedding', 'c.ce')} AS d2 "
+        "FROM embeddings e CROSS JOIN cent c "
+        "QUALIFY row_number() OVER (PARTITION BY e.vec_id "
+        "ORDER BY d2, c.cid) = 1), "
+        "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+        "probe AS (SELECT c.cid FROM cent c CROSS JOIN q "
+        f"ORDER BY {_l2_expr('q.qe', 'c.ce')}, c.cid LIMIT {IVF_PROBES}) "
+        "SELECT CAST(a.vec_id AS BIGINT) AS vec_id, "
+        f"ROUND({_cosine_expr('a.embedding', 'q.qe')}, 5) AS cosine "
+        "FROM assigned a JOIN probe p ON a.cid = p.cid CROSS JOIN q "
+        "WHERE a.vec_id <> 0 "
+        f"ORDER BY {_cosine_expr('a.embedding', 'q.qe')} DESC, a.vec_id "
+        f"LIMIT {k}"
+    )
+
+
+def cosine_neardup_sql() -> str:
+    return (
+        "WITH be AS (SELECT vec_id, embedding, "
+        f"{_sign_bucket_expr('embedding')} AS bucket FROM embeddings) "
+        "SELECT CAST(a.vec_id AS BIGINT) AS vec_a, "
+        "CAST(b.vec_id AS BIGINT) AS vec_b, "
+        f"ROUND({_cosine_expr('a.embedding', 'b.embedding')}, 5) AS cosine "
+        "FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id "
+        f"WHERE {_cosine_expr('a.embedding', 'b.embedding')} >= "
+        f"{COSINE_DUP_THRESHOLD} ORDER BY vec_a, vec_b"
+    )
+
+
+# --- PageRank (unrolled) ---------------------------------------------------
+
+def pagerank_sql() -> str:
+    d = PAGERANK_D
+    ctes = [
+        "edges AS (SELECT DISTINCT CAST(l.l_suppkey AS BIGINT) AS src, "
+        "CAST(o.o_custkey + 100000 AS BIGINT) AS dst "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)",
+        "nodes AS (SELECT src AS node FROM edges "
+        "UNION SELECT dst FROM edges)",
+        "outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "pr0 AS (SELECT node, 1.0 AS score FROM nodes)",
+    ]
+    for t in range(PAGERANK_ITERS):
+        ctes.append(
+            f"c{t} AS (SELECT e.dst AS node, "
+            f"SUM(p.score / o.outdeg) AS csum "
+            f"FROM pr{t} p JOIN edges e ON p.node = e.src "
+            "JOIN outdeg o ON o.src = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"pr{t + 1} AS (SELECT n.node, "
+            f"{1.0 - d} + {d} * coalesce(c.csum, 0.0) AS score "
+            f"FROM nodes n LEFT JOIN c{t} c ON c.node = n.node)"
+        )
+    last = f"pr{PAGERANK_ITERS}"
+    return (
+        "WITH " + ", ".join(ctes) + ", "
+        f"tot AS (SELECT SUM(score) AS t FROM {last}) "
+        f"SELECT node, ROUND(score / t, 8) AS score FROM {last} "
+        "CROSS JOIN tot ORDER BY node"
+    )
+
+
+# --- Windows / relational coverage ----------------------------------------
+
+def diversify_by_source_sql() -> str:
+    from search_engine_spark.oracle.sqlgen import quality_score_sql
+
+    inner = quality_score_sql().replace("ORDER BY docid", "")
+    return (
+        f"WITH quality AS ({inner}), "
+        "j AS (SELECT q.docid, d.source, q.quality FROM quality q "
+        "JOIN documents d ON d.doc_id = q.docid) "
+        "SELECT docid, source, quality FROM j "
+        "QUALIFY row_number() OVER (PARTITION BY source "
+        "ORDER BY quality DESC, docid) <= 2 "
+        "ORDER BY quality DESC, docid LIMIT 10"
+    )
+
+
+def spell_suggest_sql() -> str:
+    return (
+        "WITH " + postings_cte() + ", "
+        "words(word) AS (SELECT * FROM (VALUES ('tabl'), ('qery'), "
+        "('datt'), ('sparkk'))), "
+        "dict AS (SELECT DISTINCT term FROM postings), "
+        "j AS (SELECT w.word, d.term, levenshtein(w.word, d.term) AS dist "
+        "FROM words w CROSS JOIN dict d "
+        "WHERE levenshtein(w.word, d.term) <= 2) "
+        "SELECT word, term AS suggestion, CAST(dist AS INT) AS dist FROM j "
+        "QUALIFY row_number() OVER (PARTITION BY word "
+        "ORDER BY dist, term) = 1 ORDER BY word"
+    )
+
+
+def status_rollup_sql() -> str:
+    return (
+        "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+        "ROUND(SUM(o_totalprice), 2) AS total FROM orders "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+
+
+def top_customers_sql() -> str:
+    return (
+        "WITH rev AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS "
+        "revenue FROM orders GROUP BY o_custkey) "
+        "SELECT CAST(rev.o_custkey AS BIGINT) AS custkey, rev.revenue, "
+        "n.n_name AS nation, r.r_name AS region "
+        "FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "ORDER BY revenue DESC, custkey LIMIT 10"
+    )
+
+
+def freshness_decay_sql() -> str:
+    return (
+        "SELECT CAST(o_orderkey AS BIGINT) AS orderkey, "
+        "ROUND(o_totalprice * exp(-0.01 * "
+        "date_diff('day', o_orderdate, DATE '1998-12-01')) / 1000.0, 3) "
+        "AS decayed_k "
+        "FROM orders ORDER BY decayed_k DESC, orderkey LIMIT 20"
+    )
+
+
+def events_windowed_sql() -> str:
+    return (
+        "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') "
+        "AS window_start, event_type, "
+        "CAST(count(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS total_value "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
+def sessionize_sql() -> str:
+    return (
+        "WITH g AS (SELECT user_id, event_id, ts, value, "
+        "CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - "
+        "lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) > 1800 "
+        "THEN 1 ELSE 0 END AS new_sess FROM events), "
+        "s AS (SELECT user_id, value, SUM(new_sess) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS session FROM g), "
+        "per AS (SELECT user_id, session, CAST(count(*) AS BIGINT) AS "
+        "n_events, ROUND(SUM(value), 4) AS session_value FROM s "
+        "GROUP BY user_id, session) "
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions, "
+        "CAST(MAX(n_events) AS BIGINT) AS max_session_events, "
+        "ROUND(SUM(session_value), 4) AS total_value FROM per "
+        "GROUP BY user_id ORDER BY user_id"
+    )

@@ -43,6 +43,13 @@ def get_spark(
         # Parquet scans: keep file-split sizing explicit so the same
         # code yields sane task counts at 100 TB (128 MiB splits).
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Pin per-worker native thread pools to 1: with N python
+        # workers per host, BLAS/Arrow defaulting to all cores gives
+        # N*cores threads and anti-scales (measured 2x slowdown at
+        # local[32] on this box).
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
