@@ -169,8 +169,160 @@ def build_index(
         "avgdl": avgdl,
         "norm_avgdl": avgdl,  # avgdl the block_max bounds were built with
         "n_slabs": n_slabs,
+        "max_gen": 0,
     }
     with open(f"{index_dir}/meta.json", "w") as f:
         json.dump(meta, f, indent=2)
     metrics["build_sec"] = time.time() - t0
     return metrics
+
+
+def append_documents(
+    spark: SparkSession,
+    index_dir: str,
+    new_docs: DataFrame,
+    use_arrow_udf: bool = True,
+    compact: bool = False,
+) -> dict:
+    """Incrementally index a new batch (the LSM write path).
+
+    Mirrors the reference's incremental Kafka pump (SURVEY.md §2.8):
+    new pages arrive in batches, are deduped against everything seen
+    (the J2 anti-join on content sha), get docids AFTER all existing
+    docs (arrival order, like crawl order), and land as a NEW segment
+    GENERATION.  Queries work immediately (generations are additive
+    per (term, slab)); ``compact=True`` runs the LSM merge down to one
+    chunk per (term, slab), re-encoding block-max bounds with the
+    current corpus avgdl.
+
+    Until compaction, queries stay EXACT because the engine scales
+    stale block-max bounds by avgdl_current / norm_avgdl (the upper
+    bound grows monotonically in avgdl — engine.py).
+    """
+    from search_engine_spark.indexer.docmap import (
+        assign_docids,
+        dedup_incremental,
+    )
+    from search_engine_spark.indexer.merge import merge_segments
+    from search_engine_spark.tokenizer import tokens_col, tokens_udf_col
+
+    with open(f"{index_dir}/meta.json") as f:
+        meta = json.load(f)
+    cfg = EngineConfig(
+        slab_size=int(meta["slab_size"]),
+        term_buckets=int(meta["term_buckets"]),
+        block_size=int(meta["block_size"]),
+        k1=float(meta["k1"]),
+        b=float(meta["b"]),
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    metrics: dict = {}
+    t0 = time.time()
+    docmap_path = f"{index_dir}/docmap"
+    existing = spark.read.parquet(docmap_path)
+    base = int(meta["n_docs"])
+    gen = int(meta.get("max_gen", 0)) + 1
+
+    tok = tokens_udf_col("content") if use_arrow_udf else tokens_col("content")
+    # localCheckpoint severs lineage BEFORE we append to the docmap
+    # path: the anti-join below reads that same path, and Spark's
+    # write-refresh would otherwise invalidate a mere .cache() and
+    # re-execute the anti-join against the already-appended docmap —
+    # silently deduping the new batch out of existence.  (On a real
+    # cluster use reliable checkpoint() with a checkpoint dir.)
+    fresh = (
+        assign_docids(
+            dedup_incremental(new_docs, existing.select("content_sha256"))
+        )
+        .withColumn("docid", (F.col("docid") + base).cast("long"))
+        .withColumn("tokens", tok)
+        .withColumn("doclen", F.size("tokens").cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    n_new = fresh.count()
+    metrics["n_new"] = n_new
+    if n_new == 0:
+        fresh.unpersist()
+        if compact:
+            compact_index(spark, index_dir)
+        metrics["append_sec"] = time.time() - t0
+        return metrics
+    fresh.select(*DOCMAP_COLS).write.mode("append").parquet(docmap_path)
+
+    # refreshed corpus stats (exact, over the full docmap)
+    n_docs = base + n_new
+    new_stats = spark.read.parquet(docmap_path).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg("doclen").alias("avgdl"),
+    )
+    avgdl = float(new_stats.collect()[0][1])
+    new_stats.write.mode("overwrite").parquet(f"{index_dir}/stats")
+
+    postings = build_postings(fresh)
+    seg = build_segments(postings, cfg, avgdl, gen=gen)
+    seg.write.mode("append").partitionBy("slab").parquet(
+        f"{index_dir}/segments"
+    )
+    fresh.unpersist()
+    spark.catalog.refreshByPath(f"{index_dir}/segments")
+    spark.catalog.refreshByPath(docmap_path)
+
+    # df over ALL generations, recomputed from segment chunk dfs
+    all_seg = spark.read.parquet(f"{index_dir}/segments")
+    all_seg.groupBy("term").agg(
+        F.sum("df").cast("long").alias("df")
+    ).write.mode("overwrite").parquet(f"{index_dir}/df")
+
+    meta["n_docs"] = n_docs
+    meta["avgdl"] = avgdl
+    meta["norm_avgdl"] = min(float(meta["norm_avgdl"]), avgdl)
+    meta["max_gen"] = gen
+    meta["n_slabs"] = max(1, math.ceil(n_docs / cfg.slab_size))
+    L.append_lineage(
+        spark,
+        index_dir,
+        [{"slab": -1, "gen": gen, "status": "COMPLETED", "rows": n_new}],
+    )
+
+    with open(f"{index_dir}/meta.json", "w") as f:
+        json.dump(meta, f, indent=2)
+    if compact:
+        compact_index(spark, index_dir)
+    metrics["append_sec"] = time.time() - t0
+    metrics["n_docs"] = n_docs
+    return metrics
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> None:
+    """LSM compaction: merge all generations to one chunk per
+    (term, slab), re-encoding block-max bounds with the CURRENT corpus
+    avgdl (so the query-time bound_scale returns to 1)."""
+    import shutil
+
+    from search_engine_spark.indexer.merge import merge_segments
+
+    with open(f"{index_dir}/meta.json") as f:
+        meta = json.load(f)
+    cfg = EngineConfig(
+        slab_size=int(meta["slab_size"]),
+        term_buckets=int(meta["term_buckets"]),
+        block_size=int(meta["block_size"]),
+        k1=float(meta["k1"]),
+        b=float(meta["b"]),
+    )
+    avgdl = float(meta["avgdl"])
+    all_seg = spark.read.parquet(f"{index_dir}/segments")
+    compacted = merge_segments(all_seg, cfg, avgdl)
+    tmp = f"{index_dir}/segments_compact"
+    compacted.write.mode("overwrite").partitionBy("slab").parquet(tmp)
+    shutil.rmtree(f"{index_dir}/segments")
+    os.rename(tmp, f"{index_dir}/segments")
+    # drop any cached plans over the old segment files (a cached
+    # SearchEngine.segments would otherwise serve pre-compaction data
+    # to EVERY later reader — Spark reuses cached relations for
+    # equivalent path plans)
+    spark.catalog.refreshByPath(f"{index_dir}/segments")
+    meta["norm_avgdl"] = avgdl
+    meta["max_gen"] = 0
+    with open(f"{index_dir}/meta.json", "w") as f:
+        json.dump(meta, f, indent=2)
