@@ -74,7 +74,7 @@ def main() -> None:
         slab_size=1024, term_buckets=16, block_size=128, build_partitions=cpus
     )
     t0 = time.time()
-    eng = SearchEngine.build(spark, docs, idx_dir, cfg)
+    eng = SearchEngine.build(spark, docs, idx_dir, cfg, detailed_metrics=False)
     build_sec = time.time() - t0
     queries["index_build"] = round(build_sec, 3)
     extras["docs_per_sec"] = round(n_docs / build_sec, 1)
@@ -86,6 +86,19 @@ def main() -> None:
         t0 = time.time()
         eng.search(q, 10).collect()
         queries[qid] = round(time.time() - t0, 3)
+
+    # --- 2b. serving-path latency (no Spark job; pyarrow + numpy) ---
+    eng.search_local("java", 10)  # warm the dataset handle
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        for q in REFERENCE_QUERIES.values():
+            eng.search_local(q, 10)
+    serve_sec = time.time() - t0
+    queries["serving_36q"] = round(serve_sec, 3)
+    extras["serving_ms_per_query"] = round(
+        serve_sec / (reps * len(REFERENCE_QUERIES)) * 1000, 2
+    )
 
     # --- 3. batch throughput ---
     batch = {}

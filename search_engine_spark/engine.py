@@ -33,6 +33,8 @@ class SearchEngine:
         if cache:
             self.segments = self.segments.cache()
             self.df_table = self.df_table.cache()
+        self._local_ds = None
+        self._df_cache: dict[str, int] = {}
 
     # -- construction ----------------------------------------------------
     @staticmethod
@@ -76,16 +78,35 @@ class SearchEngine:
         )
         return rows
 
-    def search(self, query: str, k: int = 10) -> DataFrame:
-        """Top-k (docid, score) via per-slab block-max WAND."""
-        terms = tokenize_query(query)
+    def search(self, query: str, k: int = 10, expand: bool = False) -> DataFrame:
+        """Top-k (docid, score) via per-slab block-max WAND.
+
+        ``expand=True`` applies the reference's query expansion
+        (misspelling correction + weighted synonyms, SO3/X5): each
+        term's contribution becomes w_t * idf_t * tfn — the WAND
+        executor consumes the product as the term weight, so pruning
+        bounds remain exact.
+        """
+        if expand:
+            from search_engine_spark.query.expansion import expand_query
+
+            weights = expand_query(query)
+        else:
+            weights = {t: 1.0 for t in tokenize_query(query)}
+        terms = list(weights)
         if not terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         m = self.meta
         seg = self._pruned_segments(terms).select(
             "slab", "term", "postings", "skips", "block_max"
         )
-        seg = seg.join(F.broadcast(self._idf_rows(terms)), "term")
+        idfs = self._idf_rows(terms)
+        if any(w != 1.0 for w in weights.values()):
+            wmap = F.create_map(
+                *[F.lit(x) for t, w in weights.items() for x in (t, float(w))]
+            )
+            idfs = idfs.withColumn("idf", F.col("idf") * wmap[F.col("term")])
+        seg = seg.join(F.broadcast(idfs), "term")
         bound_scale = max(1.0, float(m["avgdl"]) / float(m["norm_avgdl"]))
         scorer = make_slab_scorer(
             int(m["slab_size"]),
@@ -156,6 +177,213 @@ class SearchEngine:
             .filter(F.col("rank") <= k)
         )
 
+    def search_local(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Serving-path top-k: NO Spark job — pyarrow pruned read of
+        the term/bucket segment files + the same numpy block-max WAND
+        kernel, per slab, merged on the driver.
+
+        Rank-identical to ``search()`` (same chunks, same kernel,
+        same tie-break; asserted in tests).  This is the analog of the
+        reference's single-node ES query serving (p99 < 100 ms,
+        README.md:226): the index is built distributed; one query's
+        top-k is served from pruned index files without cluster
+        round-trips.  At 100 TB a serving tier would run many of
+        these heads against the same segment store.
+        """
+        import math as _math
+
+        import pyarrow.dataset as ds
+
+        from search_engine_spark.indexer.codec import TermChunk
+        from search_engine_spark.indexer.segments import term_bucket_py
+        from search_engine_spark.query.wand import slab_topk
+
+        terms = tokenize_query(query)
+        if not terms:
+            return []
+        m = self.meta
+        if self._local_ds is None:
+            self._local_ds = ds.dataset(
+                f"{self.index_dir}/segments", partitioning="hive"
+            )
+        buckets = sorted(
+            {term_bucket_py(t, int(m["term_buckets"])) for t in terms}
+        )
+        tab = self._local_ds.to_table(
+            filter=(
+                ds.field("term").isin(terms)
+                & ds.field("bucket").isin(buckets)
+            ),
+            columns=["slab", "term", "postings", "skips", "block_max"],
+        )
+        if tab.num_rows == 0:
+            return []
+        n, df_map = float(m["n_docs"]), self._local_df(terms)
+        idf = {
+            t: _math.log(1.0 + (n - df_map[t] + 0.5) / (df_map[t] + 0.5))
+            for t in terms
+            if t in df_map
+        }
+        rows = tab.to_pylist()
+        by_slab: dict[int, list] = {}
+        for r in rows:
+            if r["term"] in idf:
+                by_slab.setdefault(int(r["slab"]), []).append(r)
+        bound_scale = max(1.0, float(m["avgdl"]) / float(m["norm_avgdl"]))
+        results: list[tuple[int, float]] = []
+        for slab, rs in by_slab.items():
+            chunks = [
+                (
+                    TermChunk(r["postings"], r["skips"], r["block_max"]),
+                    idf[r["term"]],
+                )
+                for r in rs
+            ]
+            ids, sc = slab_topk(
+                chunks,
+                slab * int(m["slab_size"]),
+                int(m["slab_size"]),
+                int(m["block_size"]),
+                k,
+                float(m["k1"]),
+                float(m["b"]),
+                float(m["avgdl"]),
+                bound_scale,
+            )
+            results.extend(zip(ids.tolist(), sc.tolist()))
+        results.sort(key=lambda x: (-x[1], x[0]))
+        return results[:k]
+
+    def _local_df(self, terms: list[str]) -> dict[str, int]:
+        """Per-term global df for the serving path (cached)."""
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            import pyarrow.dataset as ds
+
+            tab = ds.dataset(f"{self.index_dir}/df").to_table(
+                filter=ds.field("term").isin(missing)
+            )
+            for t, d in zip(
+                tab.column("term").to_pylist(), tab.column("df").to_pylist()
+            ):
+                self._df_cache[t] = int(d)
+            for t in missing:
+                self._df_cache.setdefault(t, 0)
+        return {
+            t: self._df_cache[t] for t in terms if self._df_cache.get(t, 0) > 0
+        }
+
+    def search_page(self, query: str, page: int = 0, size: int = 10) -> DataFrame:
+        """W2 pagination: ES from/size semantics (page>=0, 1<=size<=100,
+        Pagination.java:16-27; controller defaults page=0 size=10)."""
+        page = max(0, int(page))
+        size = min(max(1, int(size)), 100)
+        from pyspark.sql import Window
+
+        top = self.search(query, (page + 1) * size)
+        w = Window.orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            top.withColumn("rank", F.row_number().over(w))
+            .filter(
+                (F.col("rank") > page * size)
+                & (F.col("rank") <= (page + 1) * size)
+            )
+        )
+
+    def count_matches(self, query: str) -> int:
+        """A7 totalResults: exact count of docs matching >= 1 term.
+
+        Per-slab union of decoded posting docids (no scoring), summed;
+        slabs are disjoint docid ranges so the global count is the sum.
+        """
+        terms = tokenize_query(query)
+        if not terms:
+            return 0
+        import pandas as pd
+
+        from search_engine_spark.indexer.codec import TermChunk
+
+        block_size = int(self.meta["block_size"])
+
+        def count_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            ids = [
+                TermChunk(r.postings, r.skips, r.block_max).decode_all(
+                    block_size
+                )[0]
+                for r in pdf.itertuples()
+            ]
+            n = len(np.unique(np.concatenate(ids))) if ids else 0
+            return pd.DataFrame({"n": [n]})
+
+        seg = self._pruned_segments(terms).select(
+            "slab", "postings", "skips", "block_max"
+        )
+        per = seg.groupBy("slab").applyInPandas(count_group, schema="n long")
+        row = per.agg(F.sum("n").alias("total")).collect()[0]
+        return int(row["total"] or 0)
+
+    def search_ranked(
+        self,
+        query: str,
+        k: int = 10,
+        pagerank: DataFrame | None = None,
+        per_repo: int = 2,
+        expand: bool = False,
+    ) -> DataFrame:
+        """ML-blended, diversified results (reference X7/X9/W5).
+
+        candidates (4k by BM25) -> min-max-normalized bm25 + content
+        quality (F13) + optional pagerank (node, pagerank in [0,1])
+        -> 0.35/0.25/0.20/0.15/0.05 blend -> max `per_repo` per repo
+        -> top-k.  CTR and freshness default to 0 (no click logs or
+        crawl timestamps in the corpus schema).
+        """
+        from search_engine_spark.ops.ranking import (
+            diversify,
+            ml_blend_col,
+            quality_col,
+        )
+        from search_engine_spark.tokenizer import tokens_col
+
+        cand = self.search(query, 4 * k, expand=expand)
+        # broadcast the tiny candidate set; never shuffle the docmap
+        joined = self.docmap.join(F.broadcast(cand), "docid").withColumn(
+            "quality", quality_col(F.col("content"), tokens_col("content"))
+        )
+        mx = joined.agg(F.max("score").alias("_mx"))
+        joined = joined.crossJoin(F.broadcast(mx)).withColumn(
+            "bm25norm",
+            F.when(F.col("_mx") > 0, F.col("score") / F.col("_mx")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        if pagerank is not None:
+            joined = joined.join(
+                F.broadcast(pagerank.select(F.col("node").alias("docid"),
+                                            "pagerank")),
+                "docid",
+                "left",
+            ).withColumn("pagerank", F.coalesce("pagerank", F.lit(0.0)))
+        else:
+            joined = joined.withColumn("pagerank", F.lit(0.0))
+        scored = joined.withColumn(
+            "ml_score",
+            ml_blend_col(
+                F.col("bm25norm"), F.col("pagerank"), F.col("quality")
+            ),
+        )
+        return diversify(
+            scored.select(
+                "docid", "repo", "path", "score", "quality", "ml_score"
+            ),
+            "repo",
+            "ml_score",
+            per_group=per_repo,
+            k=k,
+        )
+
     def search_with_meta(self, query: str, k: int = 10) -> DataFrame:
         """Top-k decorated with path/repo metadata + snippet (F11)."""
         topk = self.search(query, k)
@@ -167,7 +395,7 @@ class SearchEngine:
             )
         )
         return (
-            topk.join(self.docmap, "docid")
+            self.docmap.join(F.broadcast(topk), "docid")
             .select(
                 "docid", "score", "repo", "path", "commit", "lang",
                 snippet.alias("snippet"),

@@ -55,11 +55,14 @@ def build_index(
     wave_size: int | None = None,
     use_arrow_udf: bool = True,
     fail_after_waves: int | None = None,
+    detailed_metrics: bool = True,
 ) -> dict:
     """Build (or resume) the full index.  Returns build metrics.
 
     ``fail_after_waves`` is a test hook: abort after N segment waves
-    to exercise resume.
+    to exercise resume.  ``detailed_metrics=False`` skips the per-wave
+    segment read-back (lineage rows then carry zero rows/bytes) —
+    one less job per wave for latency-sensitive runs.
     """
     cfg = cfg or EngineConfig()
     os.makedirs(index_dir, exist_ok=True)
@@ -88,10 +91,14 @@ def build_index(
     metrics["t_docmap"] = round(time.time() - t0, 2)
 
     stats_path = f"{index_dir}/stats"
-    if not (resume and _exists(stats_path)):
-        build_stats(docmap_tok).write.mode("overwrite").parquet(stats_path)
-    n_docs, avgdl = spark.read.parquet(stats_path).collect()[0]
-    n_docs, avgdl = int(n_docs), float(avgdl)
+    if resume and _exists(stats_path):
+        n_docs, avgdl = spark.read.parquet(stats_path).collect()[0]
+    else:
+        n_docs, avgdl = build_stats(docmap_tok).collect()[0]
+        spark.createDataFrame(
+            [(n_docs, avgdl)], "n_docs long, avgdl double"
+        ).coalesce(1).write.mode("overwrite").parquet(stats_path)
+    n_docs, avgdl = int(n_docs), float(avgdl) if avgdl is not None else 0.0
     metrics["n_docs"] = n_docs
     metrics["avgdl"] = avgdl
     metrics["t_stats"] = round(time.time() - t0, 2)
@@ -130,16 +137,21 @@ def build_index(
             # file per bucket per slab — min/max stats on the bucket
             # column then let query scans skip whole files.
             seg.write.mode("overwrite").partitionBy("slab").parquet(seg_path)
-            back = spark.read.parquet(seg_path).filter(F.col("slab").isin(wave))
-            wave_stats = {
-                r["slab"]: (r["rows"], r["bytes"])
-                for r in back.groupBy("slab")
-                .agg(
-                    F.sum("df").alias("rows"),
-                    F.sum(F.length("postings")).alias("bytes"),
+            if detailed_metrics:
+                back = spark.read.parquet(seg_path).filter(
+                    F.col("slab").isin(wave)
                 )
-                .collect()
-            }
+                wave_stats = {
+                    r["slab"]: (r["rows"], r["bytes"])
+                    for r in back.groupBy("slab")
+                    .agg(
+                        F.sum("df").alias("rows"),
+                        F.sum(F.length("postings")).alias("bytes"),
+                    )
+                    .collect()
+                }
+            else:
+                wave_stats = {}
             L.append_lineage(
                 spark,
                 index_dir,

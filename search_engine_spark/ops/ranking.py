@@ -1,0 +1,94 @@
+"""Ranking blends and result diversification (reference X7/X8/X9/W5).
+
+From SE/domain/ranking/service/MachineLearningRankingService.java:
+- :19-47  linear blend 0.35*BM25 + 0.25*PageRank + 0.20*quality
+          + 0.15*CTR + 0.05*freshness, clamped to [0, 1],
+- :52-59  freshness = exp(-0.01 * age_days)                    (X8)
+- :80-104 per-domain diversification, max 2 results per domain (W5)
+and the intended ES function_score multiply boost
+log1p(factor * pagerank) (docs/features/query-expansion-nlp.md:280-287, X7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+BLEND_WEIGHTS = {
+    "bm25": 0.35,
+    "pagerank": 0.25,
+    "quality": 0.20,
+    "ctr": 0.15,
+    "freshness": 0.05,
+}
+
+
+def ml_blend_col(
+    bm25norm, pagerank, quality, ctr=None, freshness=None
+):
+    """X9: weighted blend of [0,1] features, clamped to [0,1]."""
+    ctr = ctr if ctr is not None else F.lit(0.0)
+    freshness = freshness if freshness is not None else F.lit(0.0)
+    w = BLEND_WEIGHTS
+    s = (
+        w["bm25"] * bm25norm
+        + w["pagerank"] * pagerank
+        + w["quality"] * quality
+        + w["ctr"] * ctr
+        + w["freshness"] * freshness
+    )
+    return F.least(F.greatest(s, F.lit(0.0)), F.lit(1.0))
+
+
+def freshness_col(age_days):
+    """X8: exp(-0.01 * age_days)."""
+    return F.exp(-0.01 * age_days.cast("double"))
+
+
+def pagerank_boost_col(score, pagerank, factor: float = 2.0):
+    """X7: ES function_score MULTIPLY with log1p(factor * pagerank)."""
+    return score * F.log1p(F.lit(factor) * pagerank)
+
+
+def quality_col(content_col, tokens_col_):
+    """F13 content quality (TextProcessingService.java:131-163)."""
+    doclen = F.size(tokens_col_)
+    doclen_d = doclen.cast("double")
+    uniq_ratio = F.when(doclen == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_distinct(tokens_col_)) / doclen_d
+    )
+    sum_wlen = F.aggregate(
+        F.transform(tokens_col_, lambda x: F.length(x)),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    avg_wlen = F.when(doclen == 0, F.lit(0.0)).otherwise(
+        sum_wlen.cast("double") / doclen_d
+    )
+    return (
+        0.3 * F.least(F.length(content_col) / 5000.0, F.lit(1.0))
+        + 0.2 * F.least(doclen_d / 800.0, F.lit(1.0))
+        + 0.3 * uniq_ratio
+        + 0.2 * F.least(avg_wlen / 6.0, F.lit(1.0))
+    )
+
+
+def diversify(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    per_group: int = 2,
+    k: int | None = None,
+    tiebreak_col: str = "docid",
+) -> DataFrame:
+    """W5: keep at most `per_group` rows per group, then global top-k."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(score_col), F.asc(tiebreak_col)
+    )
+    out = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_group)
+        .drop("_rn")
+        .orderBy(F.desc(score_col), F.asc(tiebreak_col))
+    )
+    return out.limit(k) if k else out

@@ -47,6 +47,10 @@ def slab_topk(
     ub = np.zeros(n_grid, dtype=np.float64)
     for c, idf in chunks:
         np.add.at(ub, c.block_ids, idf * c.block_max * bound_scale)
+    # 1e-12 relative inflation: the bound sum and the true score sum
+    # the same float terms in different orders, so a doc could exceed
+    # the "upper" bound by a few ulps — inflate so pruning stays sound.
+    ub *= 1.0 + 1e-12
     active = np.flatnonzero(ub > 0.0)
     order = active[np.argsort(-ub[active], kind="stable")]
 

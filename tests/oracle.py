@@ -51,12 +51,17 @@ class OracleIndex:
 
     def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         terms = tokenize_query(query)
+        return self.search_weighted({t: 1.0 for t in terms}, k)
+
+    def search_weighted(
+        self, weights: dict[str, float], k: int = 10
+    ) -> list[tuple[int, float]]:
         scores: dict[int, float] = defaultdict(float)
-        for t in sorted(set(terms)):  # sorted-term sum order (bit-stable)
+        for t in sorted(weights):  # sorted-term sum order (bit-stable)
             plist = self.postings.get(t)
             if not plist:
                 continue
-            w = self.idf(t)
+            w = weights[t] * self.idf(t)
             for docid, tf in plist.items():
                 dl = self.doclen[docid]
                 tfn = (

@@ -54,10 +54,7 @@ def oracle_on_union(spark, engine):
 def appended(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("idx_append"))
     all_docs = corpus_df(spark, N, partitions=8).persist()
-    batch1 = all_docs.limit(0)  # placeholder; use deterministic split below
-    # deterministic split on the content-independent key
-    from pyspark.sql import functions as F
-
+    # deterministic split on a content-independent key
     docs1 = all_docs.filter(F.xxhash64("repo", "path") % 5 != 0)
     docs2 = all_docs.filter(F.xxhash64("repo", "path") % 5 == 0)
     build_index(spark, docs1, d, CFG)

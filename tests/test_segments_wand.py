@@ -120,6 +120,40 @@ def oracle_slab_scored(oracle, terms, k):
     return list(zip(ids.tolist(), sc.tolist()))
 
 
+def test_search_local_matches_spark_and_oracle(engine, oracle):
+    """The no-Spark serving path is rank-identical to the cluster path."""
+    import time
+
+    for qid, q in list(REFERENCE_QUERIES.items()):
+        got = engine.search_local(q, 10)
+        want = oracle.search(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], qid
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9), qid
+    # warm serving latency is sub-100ms (reference p99 target)
+    t0 = time.time()
+    for q in ["java", "search algorithm", "database index merge"]:
+        engine.search_local(q, 10)
+    avg_ms = (time.time() - t0) / 3 * 1000
+    assert avg_ms < 500, f"warm serving latency {avg_ms:.0f}ms"
+
+
+def test_hot_term_skew_bounded_by_slabs(spark, engine, oracle):
+    """The salting story: a hot term's postings are split across
+    docid-range slabs, so no (term, slab) chunk — and hence no
+    applyInPandas group — exceeds the slab's doc count, regardless
+    of how hot the term is."""
+    hot = max(oracle.postings.items(), key=lambda kv: len(kv[1]))[0]
+    total_df = len(oracle.postings[hot])
+    assert total_df > CFG.slab_size  # genuinely hot vs slab bound
+    seg = spark.read.parquet(f"{engine.index_dir}/segments")
+    rows = seg.filter(F.col("term") == hot).select("slab", "df").collect()
+    assert len(rows) > 1  # spread across slabs
+    assert sum(r["df"] for r in rows) == total_df
+    for r in rows:
+        assert r["df"] <= CFG.slab_size
+
+
 def test_resume_after_injected_failure(spark, tmp_path_factory, oracle):
     d = str(tmp_path_factory.mktemp("idx_resume"))
     docs = corpus_df(spark, N_DOCS, partitions=8)
