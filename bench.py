@@ -70,8 +70,14 @@ def main() -> None:
 
     # --- 1. index build ---
     idx_dir = tempfile.mkdtemp(prefix="sgb_idx_")
+    # slab count tracks corpus size: ~48 shards keeps applyInPandas
+    # groups chunky and the segment store at ~48*16 files (a 6000-file
+    # store at slab_size=1024/400k docs made serving reads crawl)
     cfg = EngineConfig(
-        slab_size=1024, term_buckets=16, block_size=128, build_partitions=cpus
+        slab_size=max(1024, n_docs // 48),
+        term_buckets=16,
+        block_size=128,
+        build_partitions=cpus,
     )
     t0 = time.time()
     eng = SearchEngine.build(spark, docs, idx_dir, cfg, detailed_metrics=False)

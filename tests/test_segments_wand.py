@@ -186,6 +186,27 @@ def test_resumed_index_byte_identical(spark, tmp_path_factory, engine):
     assert pa == pb
 
 
+def test_segment_scan_pushes_filters(spark, engine):
+    """Pruning regression guard: on the uncached path, bucket+term
+    predicates must reach the parquet scan (file skipping at scale)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from search_engine_spark.engine import SearchEngine
+
+    # the shared fixture cached this path; Spark substitutes cached
+    # relations into equivalent plans, hiding the parquet scan
+    spark.catalog.clearCache()
+    eng = SearchEngine(spark, engine.index_dir, cache=False)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        eng._pruned_segments(["java"]).explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "EqualTo(bucket" in pushed and "EqualTo(term,java)" in pushed
+
+
 def test_lsm_merge_two_generations(spark, engine, oracle):
     """Splitting postings into two gens + merge == single-gen segments."""
     seg = spark.read.parquet(f"{engine.index_dir}/segments")
