@@ -66,24 +66,38 @@ def dedup_incremental(new_docs: DataFrame, seen: DataFrame) -> DataFrame:
     )
 
 
-def assign_docids(deduped: DataFrame) -> DataFrame:
-    """Deterministic dense docids: repo offset + within-repo rank."""
-    repo_counts = deduped.groupBy("repo").agg(F.count("*").alias("_cnt"))
+def assign_docids(deduped: DataFrame, prefix_len: int = 8) -> DataFrame:
+    """Deterministic dense docids == rank over (repo, path, commit).
+
+    Two-level scheme, fully data-derived (never partition/task ids):
+    the big table is ranked within (repo, path-prefix) windows, and a
+    SMALL table of per-(repo, prefix) counts turns into global
+    offsets via one cumsum window.  Because the prefix is a prefix of
+    path, ordering by (repo, prefix, path, commit) equals ordering by
+    (repo, path, commit), so docids are identical to a single
+    global rank — but no window partition exceeds one (repo, prefix)
+    group, which defuses the hot-repo skew (one repo can hold ~20% of
+    a corpus; its paths split across prefixes).
+    """
+    keyed = deduped.withColumn(
+        "_pfx", F.substring("path", 1, prefix_len)
+    )
+    counts = keyed.groupBy("repo", "_pfx").agg(F.count("*").alias("_cnt"))
     w_off = (
-        Window.orderBy("repo")
+        Window.orderBy("repo", "_pfx")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    offsets = repo_counts.withColumn(
+    offsets = counts.withColumn(
         "_offset", F.sum("_cnt").over(w_off) - F.col("_cnt")
-    ).select("repo", "_offset")
-    w_in = Window.partitionBy("repo").orderBy("path", "commit")
+    ).select("repo", "_pfx", "_offset")
+    w_in = Window.partitionBy("repo", "_pfx").orderBy("path", "commit")
     return (
-        deduped.join(F.broadcast(offsets), "repo")
+        keyed.join(F.broadcast(offsets), ["repo", "_pfx"])
         .withColumn(
             "docid",
             (F.col("_offset") + F.row_number().over(w_in) - F.lit(1)).cast("long"),
         )
-        .drop("_offset")
+        .drop("_offset", "_pfx")
     )
 
 
