@@ -38,6 +38,37 @@ WAND_QUERIES = {
     "bm25_wand_q3": "slow",
 }
 
+# Query expansion (verbatim reference maps): misspelling corrections
+# at weight 1.0 + synonyms at 0.7 (QueryExpansionService.java:17-31,
+# 62-80, 88-92).
+# Queries chosen so expansion demonstrably fires on the synthetic
+# vocabulary: "search" expands to synonym "query" (weight 0.7), which
+# IS a corpus term; "serach"/"pyton" exercise the correction maps.
+EXPANDED_QUERIES = {
+    "bm25_expanded_q1": "search data",
+    "bm25_expanded_q2": "serach pyton table",
+}
+
+# Conjunctive retrieval (ES bool.must, SURVEY J4) through the real
+# index path; oracle twin adds HAVING count(distinct term) = n.
+AND_QUERIES = {
+    "bm25_and_q1": "group data row",
+    "bm25_and_q2": "table scan",
+}
+
+# Field-weighted BM25 (title^3/content^1; with expansion the synonym
+# clauses score title^2/content^0.8) — the reference's intended query
+# (docs/features/query-expansion-nlp.md:260-275) through the real
+# two-field index path.  (name, (query, expand))
+FIELDS_QUERIES = {
+    "bm25_fields_q1": ("key order merge scan", False),
+    "bm25_fields_q2": ("database search", True),
+}
+
+HIGHLIGHT_QUERIES = {
+    "highlight_q1": "data table merge",
+}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
@@ -57,6 +88,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[name] = partial(C.q_bm25, query=text, k=10)
     for name, text in WAND_QUERIES.items():
         q[name] = partial(C.q_bm25_wand, query=text, k=10)
+    for name, text in EXPANDED_QUERIES.items():
+        q[name] = partial(C.q_bm25_expanded, query=text, k=10)
+    for name, text in AND_QUERIES.items():
+        q[name] = partial(C.q_bm25_and, query=text, k=10)
+    for name, (text, exp) in FIELDS_QUERIES.items():
+        q[name] = partial(C.q_bm25_fields, query=text, k=10, expand=exp)
+    for name, text in HIGHLIGHT_QUERIES.items():
+        q[name] = partial(C.q_highlight, query=text, limit=100)
     q.update(
         {
             "simhash_fp": CO.q_simhash_fp,
@@ -96,6 +135,14 @@ def oracle_sql() -> dict[str, str]:
         o[name] = O.bm25_topk_sql(text, 10)
     for name, text in WAND_QUERIES.items():
         o[name] = O.bm25_dedup_topk_sql(text, 10)
+    for name, text in EXPANDED_QUERIES.items():
+        o[name] = O.bm25_expanded_sql(text, 10)
+    for name, text in AND_QUERIES.items():
+        o[name] = O.bm25_and_sql(text, 10)
+    for name, (text, exp) in FIELDS_QUERIES.items():
+        o[name] = O.bm25_fields_sql(text, 10, expand=exp)
+    for name, text in HIGHLIGHT_QUERIES.items():
+        o[name] = O.highlight_sql(text, 100)
     o.update(
         {
             "simhash_fp": OO.simhash_fp_sql(),

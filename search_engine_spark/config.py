@@ -33,6 +33,18 @@ STOPWORDS: tuple[str, ...] = (
     "this", "to", "was", "will", "with",
 )
 
+# --- Field-weighted search (the reference's intended query:
+# docs/features/query-expansion-nlp.md:260-275 — multi_match with
+# title^3.0 / content^1.0, synonym clauses at title^2.0 / content^0.8,
+# summed across should clauses) ---
+# Title terms share the segment store under a prefix namespace; '#'
+# can never appear in tokenizer output ([a-z0-9]+), so no collision.
+TITLE_PREFIX = "t#"
+TITLE_BOOST = 3.0
+CONTENT_BOOST = 1.0
+TITLE_SYNONYM_BOOST = 2.0
+CONTENT_SYNONYM_BOOST = 0.8
+
 # --- Index layout ---
 # Docids are partitioned into fixed-size "slabs" (shards).  A slab is
 # the unit of: segment build parallelism, lineage/resume, and query
@@ -56,4 +68,7 @@ class EngineConfig:
     b: float = BM25_B
     # Parallelism hint used for repartitions during the build.
     build_partitions: int = 32
+    # Index the title field (path basename tokens) under TITLE_PREFIX
+    # for field-weighted (title^3/content^1) search.
+    index_title: bool = True
     extra: dict = field(default_factory=dict)

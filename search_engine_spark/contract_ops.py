@@ -87,8 +87,15 @@ def q_ann_ivf(spark, sf_dir) -> DataFrame:
 
 
 def q_cosine_neardup(spark, sf_dir) -> DataFrame:
-    return sim.cosine_neardup_pairs(_emb(spark, sf_dir)).orderBy(
-        "vec_a", "vec_b"
+    """Embedding-cosine near-dup over DOCUMENTS (token-hash count
+    vectors + MinHash-LSH candidates): unlike the sf embeddings table
+    — whose max pairwise cosine is ~0.51, so a 0.95-threshold operator
+    never fires — the documents table contains real near-duplicates,
+    making this contract demonstrate the operator actually firing.
+    The embeddings-table variant remains sim.cosine_neardup_pairs."""
+    p = documents_postings(spark, sf_dir).select("term", "docid", "tf")
+    return sim.doc_cosine_neardup(_docs_toks(spark, sf_dir), p).orderBy(
+        "docid_a", "docid_b"
     )
 
 
@@ -138,9 +145,16 @@ def q_spell_suggest(spark, sf_dir) -> DataFrame:
         [("tabl",), ("qery",), ("datt",), ("sparkk",)], "word string"
     )
     terms = documents_postings(spark, sf_dir).select("term").distinct()
-    j = words.crossJoin(terms).withColumn(
-        "dist", F.levenshtein("word", "term")
-    ).filter(F.col("dist") <= 2)
+    # length-band prefilter: levenshtein <= 2 implies |len diff| <= 2,
+    # so this drops most of the vocabulary BEFORE the O(len^2)
+    # levenshtein — at a 100x vocabulary the cheap length predicate is
+    # what keeps the crossJoin linear in practice
+    j = (
+        words.crossJoin(terms)
+        .filter(F.abs(F.length("word") - F.length("term")) <= 2)
+        .withColumn("dist", F.levenshtein("word", "term"))
+        .filter(F.col("dist") <= 2)
+    )
     w = Window.partitionBy("word").orderBy(F.asc("dist"), F.asc("term"))
     return (
         j.withColumn("_rn", F.row_number().over(w))

@@ -10,8 +10,6 @@ for metadata/snippets.
 
 from __future__ import annotations
 
-import json
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -25,16 +23,33 @@ class SearchEngine:
     def __init__(self, spark: SparkSession, index_dir: str, cache: bool = True):
         self.spark = spark
         self.index_dir = index_dir
-        with open(f"{index_dir}/meta.json") as f:
-            self.meta = json.load(f)
-        self.segments = spark.read.parquet(f"{index_dir}/segments")
-        self.df_table = spark.read.parquet(f"{index_dir}/df")
-        self.docmap = spark.read.parquet(f"{index_dir}/docmap")
-        if cache:
+        self._cache_plans = cache
+        self.refresh()
+
+    def refresh(self) -> "SearchEngine":
+        """(Re)load index state.  MUST be called after any mutation of
+        the index directory by another component (append_documents,
+        compact_index) — a stale engine would otherwise score with an
+        outdated n_docs/avgdl (wrong idf and bound_scale) and hold a
+        pyarrow dataset over deleted segment files."""
+        from search_engine_spark.catalog import store_for
+
+        self.store = store_for(self.index_dir)
+        self.meta = self.store.get_meta(self.spark)
+        for df in (getattr(self, "segments", None), getattr(self, "df_table", None)):
+            if df is not None and self._cache_plans:
+                df.unpersist()
+        for t in ("segments", "df", "docmap"):
+            self.store.refresh(self.spark, t)
+        self.segments = self.store.read(self.spark, "segments")
+        self.df_table = self.store.read(self.spark, "df")
+        self.docmap = self.store.read(self.spark, "docmap")
+        if self._cache_plans:
             self.segments = self.segments.cache()
             self.df_table = self.df_table.cache()
         self._local_ds = None
         self._df_cache: dict[str, int] = {}
+        return self
 
     # -- construction ----------------------------------------------------
     @staticmethod
@@ -78,7 +93,14 @@ class SearchEngine:
         )
         return rows
 
-    def search(self, query: str, k: int = 10, expand: bool = False) -> DataFrame:
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        expand: bool = False,
+        mode: str = "or",
+        intent: bool = False,
+    ) -> DataFrame:
         """Top-k (docid, score) via per-slab block-max WAND.
 
         ``expand=True`` applies the reference's query expansion
@@ -86,6 +108,15 @@ class SearchEngine:
         term's contribution becomes w_t * idf_t * tfn — the WAND
         executor consumes the product as the term weight, so pruning
         bounds remain exact.
+
+        ``mode="and"`` is ES bool.must (SURVEY J4): only documents
+        containing EVERY query term are returned, still BM25-scored.
+        Combine with ``expand=True`` only deliberately — expansion
+        terms then become required too.
+
+        ``intent=True`` applies the reference's rule-based intent
+        classifier (query/intent.py): a TUTORIAL-intent query gains
+        the spec's extra should-terms at weight 1.0.
         """
         if expand:
             from search_engine_spark.query.expansion import expand_query
@@ -93,6 +124,11 @@ class SearchEngine:
             weights = expand_query(query)
         else:
             weights = {t: 1.0 for t in tokenize_query(query)}
+        if intent:
+            from search_engine_spark.query.intent import intent_extra_weights
+
+            for t, w in intent_extra_weights(query).items():
+                weights.setdefault(t, w)
         terms = list(weights)
         if not terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
@@ -116,9 +152,71 @@ class SearchEngine:
             float(m["b"]),
             float(m["avgdl"]),
             bound_scale,
+            n_required=len(terms) if mode == "and" else 0,
         )
         per_slab = seg.groupBy("slab").applyInPandas(scorer, schema=TOPK_SCHEMA)
         return per_slab.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+    def search_fields(
+        self, query: str, k: int = 10, expand: bool = False
+    ) -> DataFrame:
+        """Field-weighted top-k — the reference's intended query
+        (docs/features/query-expansion-nlp.md:260-275): corrected
+        original terms at title^3.0 / content^1.0, synonyms (when
+        ``expand``) at title^2.0 / content^0.8, summed across should
+        clauses.  Per-field BM25 statistics: each field's chunks carry
+        their own df, avgdl and block-max bounds (encoded with that
+        field's avgdl at build time), so WAND pruning stays exact:
+        UB(block) = sum over (term, field) of boost * idf * block_max.
+        """
+        from search_engine_spark.config import TITLE_PREFIX
+        from search_engine_spark.query.expansion import field_weights
+
+        m = self.meta
+        if not m.get("index_title"):
+            raise ValueError(
+                "index was built with index_title=False; rebuild to use "
+                "field-weighted search"
+            )
+        fw = field_weights(query, expand=expand)
+        if not fw:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        av_c, av_t = float(m["avgdl"]), float(m["avgdl_title"])
+        bs_c = max(1.0, av_c / float(m["norm_avgdl"]))
+        bs_t = max(1.0, av_t / float(m["norm_avgdl_title"]))
+        rows = []
+        for t, w_c, w_t in fw:
+            rows.append((t, float(w_c), av_c, bs_c))
+            rows.append((TITLE_PREFIX + t, float(w_t), av_t, bs_t))
+        terms = [r[0] for r in rows]
+        wdf = self.spark.createDataFrame(
+            rows, "term string, w double, avgdl double, bscale double"
+        )
+        n = float(m["n_docs"])
+        idfs = (
+            self.df_table.filter(F.col("term").isin(terms))
+            .join(F.broadcast(wdf), "term")
+            .withColumn(
+                "idf",
+                F.col("w")
+                * F.log1p((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+            )
+            .select("term", "idf", "avgdl", "bscale")
+        )
+        seg = self._pruned_segments(terms).select(
+            "slab", "term", "postings", "skips", "block_max"
+        )
+        joined = seg.join(F.broadcast(idfs), "term")
+        scorer = make_slab_scorer(
+            int(m["slab_size"]),
+            int(m["block_size"]),
+            k,
+            float(m["k1"]),
+            float(m["b"]),
+            av_c,
+        )
+        per = joined.groupBy("slab").applyInPandas(scorer, schema=TOPK_SCHEMA)
+        return per.orderBy(F.desc("score"), F.asc("docid")).limit(k)
 
     def search_batch(self, queries: dict[str, str], k: int = 10) -> DataFrame:
         """Score MANY queries in one job -> (qid, docid, score, rank).
@@ -202,6 +300,11 @@ class SearchEngine:
         if not terms:
             return []
         m = self.meta
+        if self.store.kind != "parquet":
+            raise NotImplementedError(
+                "the no-Spark serving path reads parquet segment files "
+                "directly; with a catalog store, serve via search()"
+            )
         if self._local_ds is None:
             self._local_ds = ds.dataset(
                 f"{self.index_dir}/segments", partitioning="hive"
@@ -384,20 +487,45 @@ class SearchEngine:
             k=k,
         )
 
-    def search_with_meta(self, query: str, k: int = 10) -> DataFrame:
-        """Top-k decorated with path/repo metadata + snippet (F11)."""
+    def search_with_meta(
+        self, query: str, k: int = 10, highlight: bool = False
+    ) -> DataFrame:
+        """Top-k decorated with path/repo metadata + snippet (F11).
+
+        ``highlight=True`` returns the reference's intended
+        presentation (docs/features/query-expansion-nlp.md:297-300):
+        a query-term-centered snippet with <mark> tags on content
+        matches, plus a <mark>-ed title (path basename).
+        """
         topk = self.search(query, k)
-        sub = F.substring("content", 1, 200)
-        cut = F.regexp_extract(sub, r"^([\s\S]{100,199}) ", 1)
-        snippet = F.when(F.length("content") <= 200, F.col("content")).otherwise(
-            F.when(F.length(cut) > 0, F.concat(cut, F.lit("..."))).otherwise(
-                F.concat(sub, F.lit("..."))
+        terms = tokenize_query(query)
+        if highlight:
+            from search_engine_spark.indexer.docmap import title_col
+            from search_engine_spark.query.highlight import (
+                highlight_snippet_col,
+                mark_col,
             )
-        )
+
+            snippet = highlight_snippet_col("content", terms)
+            title = mark_col(title_col("path"), terms)
+        else:
+            sub = F.substring("content", 1, 200)
+            cut = F.regexp_extract(sub, r"^([\s\S]{100,199}) ", 1)
+            snippet = F.when(
+                F.length("content") <= 200, F.col("content")
+            ).otherwise(
+                F.when(F.length(cut) > 0, F.concat(cut, F.lit("..."))).otherwise(
+                    F.concat(sub, F.lit("..."))
+                )
+            )
+            from search_engine_spark.indexer.docmap import title_col
+
+            title = title_col("path")
         return (
             self.docmap.join(F.broadcast(topk), "docid")
             .select(
                 "docid", "score", "repo", "path", "commit", "lang",
+                title.alias("title"),
                 snippet.alias("snippet"),
             )
             .orderBy(F.desc("score"), F.asc("docid"))

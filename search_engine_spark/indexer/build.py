@@ -17,7 +17,6 @@ when the runtime jar is present — SURVEY.md §7):
 
 from __future__ import annotations
 
-import json
 import math
 import os
 import time
@@ -31,18 +30,14 @@ from search_engine_spark.indexer.docmap import build_docmap
 from search_engine_spark.indexer.postings import (
     build_df_table,
     build_postings,
-    build_stats,
+    build_title_postings,
 )
 from search_engine_spark.indexer.segments import build_segments, postings_with_keys
 
 
-def _exists(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
-
-
 DOCMAP_COLS = [
     "docid", "repo", "path", "commit", "lang", "content",
-    "content_sha256", "doclen",
+    "content_sha256", "doclen", "title_len",
 ]
 
 
@@ -64,8 +59,12 @@ def build_index(
     segment read-back (lineage rows then carry zero rows/bytes) —
     one less job per wave for latency-sensitive runs.
     """
+    from search_engine_spark.catalog import store_for
+
     cfg = cfg or EngineConfig()
-    os.makedirs(index_dir, exist_ok=True)
+    store = store_for(index_dir)
+    if store.kind == "parquet":
+        os.makedirs(index_dir, exist_ok=True)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     t0 = time.time()
     metrics: dict = {}
@@ -74,41 +73,73 @@ def build_index(
     # the docmap write, stats, postings, and df in a single lineage.
     # On resume, tokens are recomputed deterministically from the
     # docmap already on disk.
-    docmap_path = f"{index_dir}/docmap"
-    fresh = not (resume and _exists(docmap_path))
+    fresh = not (resume and store.exists("docmap"))
     if fresh:
+        # A fresh build into a previously-used index_dir must not
+        # inherit state: segment writes use dynamic partition
+        # overwrite (stale slabs from a larger prior corpus would
+        # survive) and old lineage rows would corrupt a later resume.
+        for sub in ("segments", "lineage"):
+            try:
+                store.drop(sub)
+            except NotImplementedError:
+                pass  # catalog-managed tables are replaced below
         docmap_tok = build_docmap(docs, use_arrow_udf=use_arrow_udf)
     else:
+        from search_engine_spark.indexer.docmap import title_col
         from search_engine_spark.tokenizer import tokens_col, tokens_udf_col
 
         tok = tokens_udf_col("content") if use_arrow_udf else tokens_col("content")
-        docmap_tok = spark.read.parquet(docmap_path).withColumn("tokens", tok)
+        ttok = (
+            tokens_udf_col(title_col()) if use_arrow_udf
+            else tokens_col(title_col())
+        )
+        docmap_tok = (
+            store.read(spark, "docmap")
+            .withColumn("tokens", tok)
+            .withColumn("title_tokens", ttok)
+        )
     docmap_tok = docmap_tok.persist()
     if fresh:
-        docmap_tok.select(*DOCMAP_COLS).write.mode("overwrite").parquet(
-            docmap_path
-        )
+        store.write(docmap_tok.select(*DOCMAP_COLS), "docmap")
     metrics["t_docmap"] = round(time.time() - t0, 2)
 
-    stats_path = f"{index_dir}/stats"
-    if resume and _exists(stats_path):
-        n_docs, avgdl = spark.read.parquet(stats_path).collect()[0]
+    if resume and store.exists("stats"):
+        n_docs, avgdl, avgdl_title = store.read(spark, "stats").collect()[0]
     else:
-        n_docs, avgdl = build_stats(docmap_tok).collect()[0]
-        spark.createDataFrame(
-            [(n_docs, avgdl)], "n_docs long, avgdl double"
-        ).coalesce(1).write.mode("overwrite").parquet(stats_path)
-    n_docs, avgdl = int(n_docs), float(avgdl) if avgdl is not None else 0.0
+        n_docs, avgdl, avgdl_title = docmap_tok.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.avg("doclen").alias("avgdl"),
+            F.avg("title_len").alias("avgdl_title"),
+        ).collect()[0]
+        store.write(
+            spark.createDataFrame(
+                [(n_docs, avgdl, avgdl_title)],
+                "n_docs long, avgdl double, avgdl_title double",
+            ),
+            "stats",
+            coalesce=1,
+        )
+    n_docs = int(n_docs)
+    avgdl = float(avgdl) if avgdl is not None else 0.0
+    avgdl_title = float(avgdl_title) if avgdl_title is not None else 0.0
     metrics["n_docs"] = n_docs
     metrics["avgdl"] = avgdl
     metrics["t_stats"] = round(time.time() - t0, 2)
 
     postings = build_postings(docmap_tok)
     keyed = postings_with_keys(postings, cfg).persist()
+    keyed_title = None
+    if cfg.index_title:
+        keyed_title = postings_with_keys(
+            build_title_postings(docmap_tok), cfg
+        ).persist()
 
-    df_path = f"{index_dir}/df"
-    if not (resume and _exists(df_path)):
-        build_df_table(keyed).write.mode("overwrite").parquet(df_path)
+    if not (resume and store.exists("df")):
+        df_all = build_df_table(keyed)
+        if keyed_title is not None:
+            df_all = df_all.unionByName(build_df_table(keyed_title))
+        store.write(df_all, "df")
     docmap_tok.unpersist()
     metrics["t_df"] = round(time.time() - t0, 2)
 
@@ -124,7 +155,6 @@ def build_index(
             remaining[i:i + wave_size]
             for i in range(0, len(remaining), wave_size)
         ]
-        seg_path = f"{index_dir}/segments"
         for wi, wave in enumerate(waves):
             if fail_after_waves is not None and wi >= fail_after_waves:
                 raise RuntimeError("injected build failure (test hook)")
@@ -132,13 +162,29 @@ def build_index(
             seg = build_segments(
                 keyed.filter(F.col("slab").isin(wave)), cfg, avgdl, gen=0
             )
+            if keyed_title is not None:
+                # Title chunks are encoded with the title field's own
+                # avgdl so their block-max bounds (and query-time
+                # normalization) use per-field statistics.
+                seg = seg.unionByName(
+                    build_segments(
+                        keyed_title.filter(F.col("slab").isin(wave)),
+                        cfg,
+                        avgdl_title,
+                        gen=0,
+                    )
+                )
             # No repartition: each applyInPandas task holds one
             # (slab, bucket) group, so partitionBy(slab) yields one
             # file per bucket per slab — min/max stats on the bucket
-            # column then let query scans skip whole files.
-            seg.write.mode("overwrite").partitionBy("slab").parquet(seg_path)
+            # column then let query scans skip whole files.  Dynamic
+            # overwrite keeps wave retries idempotent (Iceberg:
+            # overwritePartitions).
+            store.write(
+                seg, "segments", mode="dynamic_overwrite", partition_by="slab"
+            )
             if detailed_metrics:
-                back = spark.read.parquet(seg_path).filter(
+                back = store.read(spark, "segments").filter(
                     F.col("slab").isin(wave)
                 )
                 wave_stats = {
@@ -169,6 +215,8 @@ def build_index(
             )
     finally:
         keyed.unpersist()
+        if keyed_title is not None:
+            keyed_title.unpersist()
     metrics["t_segments"] = round(time.time() - t0, 2)
 
     meta = {
@@ -180,11 +228,13 @@ def build_index(
         "n_docs": n_docs,
         "avgdl": avgdl,
         "norm_avgdl": avgdl,  # avgdl the block_max bounds were built with
+        "index_title": bool(cfg.index_title),
+        "avgdl_title": avgdl_title,
+        "norm_avgdl_title": avgdl_title,
         "n_slabs": n_slabs,
         "max_gen": 0,
     }
-    with open(f"{index_dir}/meta.json", "w") as f:
-        json.dump(meta, f, indent=2)
+    store.put_meta(spark, meta)
     metrics["build_sec"] = time.time() - t0
     return metrics
 
@@ -214,12 +264,14 @@ def append_documents(
     from search_engine_spark.indexer.docmap import (
         assign_docids,
         dedup_incremental,
+        title_col,
     )
-    from search_engine_spark.indexer.merge import merge_segments
     from search_engine_spark.tokenizer import tokens_col, tokens_udf_col
 
-    with open(f"{index_dir}/meta.json") as f:
-        meta = json.load(f)
+    from search_engine_spark.catalog import store_for
+
+    store = store_for(index_dir)
+    meta = store.get_meta(spark)
     cfg = EngineConfig(
         slab_size=int(meta["slab_size"]),
         term_buckets=int(meta["term_buckets"]),
@@ -230,12 +282,15 @@ def append_documents(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     metrics: dict = {}
     t0 = time.time()
-    docmap_path = f"{index_dir}/docmap"
-    existing = spark.read.parquet(docmap_path)
+    existing = store.read(spark, "docmap")
     base = int(meta["n_docs"])
     gen = int(meta.get("max_gen", 0)) + 1
 
     tok = tokens_udf_col("content") if use_arrow_udf else tokens_col("content")
+    ttok = (
+        tokens_udf_col(title_col()) if use_arrow_udf
+        else tokens_col(title_col())
+    )
     # localCheckpoint severs lineage BEFORE we append to the docmap
     # path: the anti-join below reads that same path, and Spark's
     # write-refresh would otherwise invalidate a mere .cache() and
@@ -249,6 +304,8 @@ def append_documents(
         .withColumn("docid", (F.col("docid") + base).cast("long"))
         .withColumn("tokens", tok)
         .withColumn("doclen", F.size("tokens").cast("int"))
+        .withColumn("title_tokens", ttok)
+        .withColumn("title_len", F.size("title_tokens").cast("int"))
         .localCheckpoint(eager=True)
     )
     n_new = fresh.count()
@@ -259,35 +316,48 @@ def append_documents(
             compact_index(spark, index_dir)
         metrics["append_sec"] = time.time() - t0
         return metrics
-    fresh.select(*DOCMAP_COLS).write.mode("append").parquet(docmap_path)
+    store.write(fresh.select(*DOCMAP_COLS), "docmap", mode="append")
+    store.refresh(spark, "docmap")
 
     # refreshed corpus stats (exact, over the full docmap)
     n_docs = base + n_new
-    new_stats = spark.read.parquet(docmap_path).agg(
+    new_stats = store.read(spark, "docmap").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.avg("doclen").alias("avgdl"),
+        F.avg("title_len").alias("avgdl_title"),
     )
-    avgdl = float(new_stats.collect()[0][1])
-    new_stats.write.mode("overwrite").parquet(f"{index_dir}/stats")
+    srow = new_stats.collect()[0]
+    avgdl, avgdl_title = float(srow[1]), float(srow[2])
+    store.write(new_stats, "stats", coalesce=1)
 
+    index_title = bool(meta.get("index_title", False))
     postings = build_postings(fresh)
     seg = build_segments(postings, cfg, avgdl, gen=gen)
-    seg.write.mode("append").partitionBy("slab").parquet(
-        f"{index_dir}/segments"
-    )
+    if index_title:
+        seg = seg.unionByName(
+            build_segments(
+                build_title_postings(fresh), cfg, avgdl_title, gen=gen
+            )
+        )
+    store.write(seg, "segments", mode="append", partition_by="slab")
     fresh.unpersist()
-    spark.catalog.refreshByPath(f"{index_dir}/segments")
-    spark.catalog.refreshByPath(docmap_path)
+    store.refresh(spark, "segments")
+    store.refresh(spark, "docmap")
 
     # df over ALL generations, recomputed from segment chunk dfs
-    all_seg = spark.read.parquet(f"{index_dir}/segments")
-    all_seg.groupBy("term").agg(
-        F.sum("df").cast("long").alias("df")
-    ).write.mode("overwrite").parquet(f"{index_dir}/df")
+    all_seg = store.read(spark, "segments")
+    store.write(
+        all_seg.groupBy("term").agg(F.sum("df").cast("long").alias("df")),
+        "df",
+    )
 
     meta["n_docs"] = n_docs
     meta["avgdl"] = avgdl
     meta["norm_avgdl"] = min(float(meta["norm_avgdl"]), avgdl)
+    meta["avgdl_title"] = avgdl_title
+    meta["norm_avgdl_title"] = min(
+        float(meta.get("norm_avgdl_title", avgdl_title)), avgdl_title
+    )
     meta["max_gen"] = gen
     meta["n_slabs"] = max(1, math.ceil(n_docs / cfg.slab_size))
     L.append_lineage(
@@ -296,8 +366,7 @@ def append_documents(
         [{"slab": -1, "gen": gen, "status": "COMPLETED", "rows": n_new}],
     )
 
-    with open(f"{index_dir}/meta.json", "w") as f:
-        json.dump(meta, f, indent=2)
+    store.put_meta(spark, meta)
     if compact:
         compact_index(spark, index_dir)
     metrics["append_sec"] = time.time() - t0
@@ -305,16 +374,29 @@ def append_documents(
     return metrics
 
 
-def compact_index(spark: SparkSession, index_dir: str) -> None:
+def compact_index(
+    spark: SparkSession, index_dir: str, mode: str = "reencode"
+) -> None:
     """LSM compaction: merge all generations to one chunk per
-    (term, slab), re-encoding block-max bounds with the CURRENT corpus
-    avgdl (so the query-time bound_scale returns to 1)."""
+    (term, slab).
+
+    ``mode="reencode"`` (default): decode + re-encode, refreshing
+    block-max bounds to the CURRENT corpus avgdl (query-time
+    bound_scale returns to 1 — tightest pruning).
+
+    ``mode="splice"``: byte-splicing merge (codec.splice_merge) —
+    O(bytes moved), no interior-block decode; block-max keeps each
+    generation's avgdl basis, so norm_avgdl is PRESERVED and queries
+    stay exact via bound_scale.  The scale path for frequent merges;
+    run a re-encode compaction occasionally to re-tighten bounds.
+    """
     import shutil
 
-    from search_engine_spark.indexer.merge import merge_segments
+    from search_engine_spark.catalog import store_for
+    from search_engine_spark.indexer.merge import merge_segments, splice_segments
 
-    with open(f"{index_dir}/meta.json") as f:
-        meta = json.load(f)
+    store = store_for(index_dir)
+    meta = store.get_meta(spark)
     cfg = EngineConfig(
         slab_size=int(meta["slab_size"]),
         term_buckets=int(meta["term_buckets"]),
@@ -323,18 +405,32 @@ def compact_index(spark: SparkSession, index_dir: str) -> None:
         b=float(meta["b"]),
     )
     avgdl = float(meta["avgdl"])
-    all_seg = spark.read.parquet(f"{index_dir}/segments")
-    compacted = merge_segments(all_seg, cfg, avgdl)
-    tmp = f"{index_dir}/segments_compact"
-    compacted.write.mode("overwrite").partitionBy("slab").parquet(tmp)
-    shutil.rmtree(f"{index_dir}/segments")
-    os.rename(tmp, f"{index_dir}/segments")
+    avgdl_title = float(meta.get("avgdl_title", avgdl))
+    all_seg = store.read(spark, "segments")
+    if mode == "splice":
+        compacted = splice_segments(all_seg)
+    else:
+        compacted = merge_segments(all_seg, cfg, avgdl, avgdl_title)
+    if store.kind == "parquet":
+        # parquet cannot atomically replace a table it is reading
+        # from: write aside, swap directories
+        tmp = f"{index_dir}/segments_compact"
+        compacted.write.mode("overwrite").partitionBy("slab").parquet(tmp)
+        shutil.rmtree(f"{index_dir}/segments")
+        os.rename(tmp, f"{index_dir}/segments")
+    else:
+        # catalog-managed (Iceberg): createOrReplace is a snapshot swap
+        store.write(compacted, "segments", partition_by="slab")
     # drop any cached plans over the old segment files (a cached
     # SearchEngine.segments would otherwise serve pre-compaction data
     # to EVERY later reader — Spark reuses cached relations for
     # equivalent path plans)
-    spark.catalog.refreshByPath(f"{index_dir}/segments")
-    meta["norm_avgdl"] = avgdl
+    store.refresh(spark, "segments")
+    if mode != "splice":
+        # re-encode refreshed every bound to the current avgdl;
+        # splice keeps per-generation bases, so norm_avgdl must stay
+        meta["norm_avgdl"] = avgdl
+        if "avgdl_title" in meta:
+            meta["norm_avgdl_title"] = avgdl_title
     meta["max_gen"] = 0
-    with open(f"{index_dir}/meta.json", "w") as f:
-        json.dump(meta, f, indent=2)
+    store.put_meta(spark, meta)

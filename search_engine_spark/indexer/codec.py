@@ -152,6 +152,120 @@ class TermChunk:
         return self.decode_blocks(np.arange(self.n_blocks), block_size)
 
 
+def splice_merge(chunks: list[tuple[bytes, bytes, bytes]]):
+    """Byte-splicing merge of same-term chunks from successive
+    generations — the 100x-scale alternative to decode+re-encode.
+
+    Precondition (holds by construction for LSM generations): chunks
+    are ordered by generation and their local-docid ranges are
+    disjoint and ascending (appended docs always get higher docids).
+
+    Because every block is independently decodable (the block head
+    stores its offset from the block base, codec layout above), the
+    docid/tf/doclen byte streams CONCATENATE verbatim; only when two
+    adjacent generations share the boundary block does exactly ONE
+    varint (the later chunk's first delta) need re-encoding, becoming
+    a delta from the earlier chunk's last docid.  Skip entries get
+    integer offset shifts; block_max arrays concatenate (shared
+    boundary block keeps the max of the two).
+
+    Bound caveat: each generation's block_max was computed with that
+    generation's avgdl.  The spliced chunk keeps those values, so
+    query-time exactness relies on the engine's bound_scale =
+    avgdl_now / norm_avgdl (norm_avgdl = min over generations), the
+    same mechanism that makes un-compacted generations exact.  A full
+    re-encode (merge.py default) is what tightens bounds.
+
+    Returns (postings bytes, skips bytes, block_max bytes).
+    """
+    assert chunks
+    if len(chunks) == 1:
+        return chunks[0]
+
+    # parsed accumulator state from the first chunk
+    acc = TermChunk(*chunks[0])
+    a_d = np.array(acc._d, copy=True)
+    a_t = np.array(acc._t, copy=True)
+    a_l = np.array(acc._l, copy=True)
+    a_ids = np.array(acc.block_ids, dtype=np.int64)
+    a_start = np.array(acc.start_idx, dtype=np.int64)
+    a_offd = np.array(acc.off_d, dtype=np.int64)
+    a_offt = np.array(acc.off_t, dtype=np.int64)
+    a_offl = np.array(acc.off_l, dtype=np.int64)
+    a_bm = np.array(acc.block_max, copy=True)
+    a_count = acc._count_total()
+
+    for nxt in chunks[1:]:
+        b = TermChunk(*nxt)
+        b_d = np.asarray(b._d)
+        b_count = b._count_total()
+        shared = len(a_ids) > 0 and b.block_ids[0] == a_ids[-1]
+        if shared:
+            # Both positions are offsets WITHIN the shared block, so
+            # no block_size is needed: A's last docid offset is the
+            # sum of its last block's deltas, B's head stores its own
+            # offset from the block base.  Re-encode that ONE varint
+            # as a delta from A's last docid.
+            d_tail = varint_decode(a_d[a_offd[-1]:]).astype(np.int64)
+            last_local_off = int(d_tail.sum())  # offset within block
+            b_head_nbytes = int(
+                np.flatnonzero((b_d & 0x80) == 0)[0] + 1
+            )
+            b_head_off = int(varint_decode(b_d[:b_head_nbytes])[0])
+            # new delta: distance within the SAME block
+            new_delta = np.uint64(b_head_off - last_local_off)
+            new_head, _ = varint_encode(np.array([new_delta]))
+            shift = len(new_head) - b_head_nbytes
+            nb_d = np.concatenate([new_head, b_d[b_head_nbytes:]])
+        else:
+            shift = 0
+            nb_d = b_d
+
+        # splice streams
+        off_d_base = len(a_d)
+        off_t_base = len(a_t)
+        off_l_base = len(a_l)
+        a_d = np.concatenate([a_d, nb_d])
+        a_t = np.concatenate([a_t, np.asarray(b._t)])
+        a_l = np.concatenate([a_l, np.asarray(b._l)])
+
+        b_ids = np.asarray(b.block_ids, dtype=np.int64)
+        b_start = np.asarray(b.start_idx, dtype=np.int64) + a_count
+        b_offd = np.asarray(b.off_d, dtype=np.int64) + off_d_base
+        # entries after the re-encoded head varint shift by `shift`
+        b_offd = b_offd + np.where(
+            np.arange(len(b_offd)) > 0, shift, 0
+        )
+        b_offt = np.asarray(b.off_t, dtype=np.int64) + off_t_base
+        b_offl = np.asarray(b.off_l, dtype=np.int64) + off_l_base
+        b_bm = np.asarray(b.block_max)
+
+        if shared:
+            # B's first block folds into A's last skip entry
+            a_bm[-1] = max(a_bm[-1], b_bm[0])
+            b_ids = b_ids[1:]
+            b_start = b_start[1:]
+            b_offd = b_offd[1:]
+            b_offt = b_offt[1:]
+            b_offl = b_offl[1:]
+            b_bm = b_bm[1:]
+
+        a_ids = np.concatenate([a_ids, b_ids])
+        a_start = np.concatenate([a_start, b_start])
+        a_offd = np.concatenate([a_offd, b_offd])
+        a_offt = np.concatenate([a_offt, b_offt])
+        a_offl = np.concatenate([a_offl, b_offl])
+        a_bm = np.concatenate([a_bm, b_bm])
+        a_count += b_count
+
+    hdr = np.array([len(a_d), len(a_t)], dtype=np.uint32).tobytes()
+    postings = hdr + a_d.tobytes() + a_t.tobytes() + a_l.tobytes()
+    skips = np.concatenate(
+        [[len(a_ids)], a_ids, a_start, a_offd, a_offt, a_offl]
+    ).astype(np.int32).tobytes()
+    return postings, skips, a_bm.tobytes()
+
+
 def encode_group(
     term_codes: np.ndarray,
     local_docids: np.ndarray,

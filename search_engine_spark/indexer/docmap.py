@@ -101,23 +101,41 @@ def assign_docids(deduped: DataFrame, prefix_len: int = 8) -> DataFrame:
     )
 
 
+def title_col(path_col: str = "path"):
+    """F2 title analog for a code corpus: the path basename.
+
+    The reference extracts a page <title> per document
+    (PageContentConsumer / WebPageEsDocument `title` field); for
+    source files the basename (e.g. ``MergeScheduler.java``) plays
+    that role, and the camel/snake-aware tokenizer splits it into the
+    identifier words users type.
+    """
+    return F.element_at(F.split(F.col(path_col), "/"), -1)
+
+
 def build_docmap(
     docs: DataFrame,
     content_col: str = "content",
     use_arrow_udf: bool = True,
 ) -> DataFrame:
-    """documents -> docmap with tokens.
+    """documents -> docmap with tokens (content + title fields).
 
     Output: (docid, repo, path, commit, lang, content, content_sha256,
-    tokens, doclen).  Tokenization runs once here and is shared by
-    postings, segments, and any downstream op.  `use_arrow_udf`
-    selects the vectorized Arrow pandas UDF (north-star form); False
-    selects the pure-JVM column-expression twin (same semantics,
-    asserted equal in tests).
+    tokens, doclen, title_tokens, title_len).  Tokenization runs once
+    here and is shared by postings, segments, and any downstream op.
+    `use_arrow_udf` selects the vectorized Arrow pandas UDF
+    (north-star form); False selects the pure-JVM column-expression
+    twin (same semantics, asserted equal in tests).
     """
     tok = tokens_udf_col(content_col) if use_arrow_udf else tokens_col(content_col)
+    ttok = (
+        tokens_udf_col(title_col()) if use_arrow_udf
+        else tokens_col(title_col())
+    )
     return (
         assign_docids(dedup_exact(docs))
         .withColumn("tokens", tok)
         .withColumn("doclen", F.size("tokens").cast("int"))
+        .withColumn("title_tokens", ttok)
+        .withColumn("title_len", F.size("title_tokens").cast("int"))
     )

@@ -28,6 +28,12 @@ def lineage_path(index_dir: str) -> str:
     return f"{index_dir}/lineage"
 
 
+def _store(index_dir: str):
+    from search_engine_spark.catalog import store_for
+
+    return store_for(index_dir)
+
+
 def append_lineage(
     spark: SparkSession,
     index_dir: str,
@@ -51,12 +57,12 @@ def append_lineage(
         ],
         schema=LINEAGE_SCHEMA,
     )
-    df.write.mode("append").parquet(lineage_path(index_dir))
+    _store(index_dir).write(df, "lineage", mode="append")
 
 
 def read_lineage(spark: SparkSession, index_dir: str) -> DataFrame | None:
     try:
-        return spark.read.parquet(lineage_path(index_dir))
+        return _store(index_dir).read(spark, "lineage")
     except Exception:
         return None
 

@@ -25,8 +25,16 @@ from search_engine_spark.indexer.codec import TermChunk, encode_group
 from search_engine_spark.indexer.segments import SEGMENT_SCHEMA
 
 
-def make_segment_merger(cfg: EngineConfig, avgdl: float):
-    slab_size, block_size = cfg.slab_size, cfg.block_size
+def make_segment_merger(
+    cfg: EngineConfig, avgdl: float, avgdl_title: float | None = None
+):
+    """Per-(slab, bucket) merger.  Title-namespace terms (TITLE_PREFIX)
+    re-encode with the title field's avgdl; everything else with the
+    content avgdl — block-max bounds stay per-field-exact after
+    compaction."""
+    from search_engine_spark.config import TITLE_PREFIX
+
+    block_size = cfg.block_size
     k1, b = cfg.k1, cfg.b
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -35,11 +43,13 @@ def make_segment_merger(cfg: EngineConfig, avgdl: float):
         terms: list[str] = []
         parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         counts: list[int] = []
-        # decode every chunk (grouped by term)
+        # decode every chunk (grouped by term); itertuples — rows are
+        # segment chunks (thousands per group at most), decode is the
+        # numpy-bound part
         for term, grp in pdf.groupby("term", sort=True):
             ds, ts, ls = [], [], []
-            for _, row in grp.iterrows():
-                c = TermChunk(row["postings"], row["skips"], row["block_max"])
+            for row in grp.itertuples():
+                c = TermChunk(row.postings, row.skips, row.block_max)
                 d, t, l = c.decode_all(block_size)
                 ds.append(d)
                 ts.append(t)
@@ -55,31 +65,101 @@ def make_segment_merger(cfg: EngineConfig, avgdl: float):
             return pd.DataFrame(
                 columns=[f.split()[0] for f in SEGMENT_SCHEMA.split(", ")]
             )
-        codes = np.repeat(np.arange(len(terms)), counts)
-        local = np.concatenate([p[0] for p in parts])
-        tf = np.concatenate([p[1] for p in parts])
-        dl = np.concatenate([p[2] for p in parts])
-        p_, s_, bm_, tmax, dfs = encode_group(
-            codes, local, tf, dl, len(terms), block_size, k1, b, avgdl
+
+        out: list[pd.DataFrame] = []
+        is_title = np.array(
+            [t.startswith(TITLE_PREFIX) for t in terms], dtype=bool
         )
-        return pd.DataFrame(
-            {
-                "slab": slab,
-                "bucket": bucket,
-                "gen": 0,
-                "term": terms,
-                "df": dfs,
-                "max_factor": tmax,
-                "postings": p_,
-                "skips": s_,
-                "block_max": bm_,
-            }
-        )
+        for sel_title, field_avgdl in (
+            (False, avgdl),
+            (True, avgdl_title if avgdl_title is not None else avgdl),
+        ):
+            idx = np.flatnonzero(is_title == sel_title)
+            if len(idx) == 0:
+                continue
+            f_terms = [terms[i] for i in idx]
+            f_counts = [counts[i] for i in idx]
+            codes = np.repeat(np.arange(len(idx)), f_counts)
+            local = np.concatenate([parts[i][0] for i in idx])
+            tf = np.concatenate([parts[i][1] for i in idx])
+            dl = np.concatenate([parts[i][2] for i in idx])
+            p_, s_, bm_, tmax, dfs = encode_group(
+                codes, local, tf, dl, len(idx), block_size, k1, b,
+                field_avgdl,
+            )
+            out.append(
+                pd.DataFrame(
+                    {
+                        "slab": slab,
+                        "bucket": bucket,
+                        "gen": 0,
+                        "term": f_terms,
+                        "df": dfs,
+                        "max_factor": tmax,
+                        "postings": p_,
+                        "skips": s_,
+                        "block_max": bm_,
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
 
     return merge
 
 
-def merge_segments(segments: DataFrame, cfg: EngineConfig, avgdl: float) -> DataFrame:
+def merge_segments(
+    segments: DataFrame,
+    cfg: EngineConfig,
+    avgdl: float,
+    avgdl_title: float | None = None,
+) -> DataFrame:
     return segments.groupBy("slab", "bucket").applyInPandas(
-        make_segment_merger(cfg, avgdl), schema=SEGMENT_SCHEMA
+        make_segment_merger(cfg, avgdl, avgdl_title), schema=SEGMENT_SCHEMA
+    )
+
+
+def make_segment_splicer():
+    """Byte-splicing merger (codec.splice_merge): concatenates the
+    generations' posting bytes per (term, slab) with at most one
+    varint re-encoded per generation boundary — no decode of interior
+    blocks, so merge cost is O(bytes moved), the 100x-scale LSM merge.
+
+    Generations' docid ranges are disjoint and ascending within a
+    slab by construction (appends allocate docids past the old max),
+    which is exactly splice_merge's precondition.  Block-max values
+    keep their per-generation avgdl basis, so callers must PRESERVE
+    the index's norm_avgdl (query-time bound_scale keeps pruning
+    exact); a re-encode merge is what tightens bounds.
+    """
+    from search_engine_spark.indexer.codec import splice_merge
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        slab = int(pdf["slab"].iloc[0])
+        bucket = int(pdf["bucket"].iloc[0])
+        recs = []
+        for term, grp in pdf.groupby("term", sort=True):
+            grp = grp.sort_values("gen", kind="mergesort")
+            p, s, bm = splice_merge(
+                [
+                    (r.postings, r.skips, r.block_max)
+                    for r in grp.itertuples()
+                ]
+            )
+            recs.append(
+                (
+                    slab, bucket, 0, term,
+                    int(grp["df"].sum()),
+                    float(grp["max_factor"].max()),
+                    p, s, bm,
+                )
+            )
+        cols = [f.split()[0] for f in SEGMENT_SCHEMA.split(", ")]
+        return pd.DataFrame(recs, columns=cols)
+
+    return merge
+
+
+def splice_segments(segments: DataFrame) -> DataFrame:
+    return segments.groupBy("slab", "bucket").applyInPandas(
+        make_segment_splicer(), schema=SEGMENT_SCHEMA
     )

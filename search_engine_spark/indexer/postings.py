@@ -32,6 +32,33 @@ def build_postings(docmap: DataFrame) -> DataFrame:
     )
 
 
+def build_title_postings(docmap: DataFrame) -> DataFrame:
+    """docmap(title_tokens, title_len) -> title-field postings.
+
+    Terms live under the TITLE_PREFIX namespace so they share the
+    segment store (and its (slab, bucket) layout + file pruning) with
+    content terms; ``doclen`` is the title's own token count, so BM25
+    length normalization uses per-field statistics (ES semantics).
+    """
+    from search_engine_spark.config import TITLE_PREFIX
+
+    return (
+        docmap.select(
+            "docid",
+            F.col("title_len").alias("doclen"),
+            F.explode("title_tokens").alias("t"),
+        )
+        .select(
+            F.concat(F.lit(TITLE_PREFIX), F.col("t")).alias("term"),
+            "docid",
+            "doclen",
+        )
+        .groupBy("term", "docid", "doclen")
+        .agg(F.count("*").cast("int").alias("tf"))
+        .select("term", "docid", "tf", "doclen")
+    )
+
+
 def build_df_table(postings: DataFrame) -> DataFrame:
     """postings -> (term, df): document frequency per term."""
     return postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))

@@ -63,3 +63,69 @@ def pagerank(
             "node", (F.col("score") / F.col("t")).alias("score")
         )
     return ranks
+
+
+def pagerank_converged(
+    edges: DataFrame,
+    d: float = PAGERANK_D,
+    eps: float = 1e-4,
+    max_iters: int = 100,
+    checkpoint_every: int = 5,
+    normalize: bool = True,
+) -> tuple[DataFrame, int]:
+    """A4: epsilon-converged PageRank — the reference's actual loop
+    (PageRankCalculator.java:93-103: iterate until the L1 delta
+    sum(|new - old|) < eps, capped at max_iters).
+
+    Returns (ranks, iterations_run).  The fixed-iteration
+    ``pagerank`` remains the contract/oracle entry (DuckDB unrolls a
+    fixed loop); this mode serves production use.  Each iteration
+    costs one extra scalar L1 aggregate; ``localCheckpoint`` every
+    ``checkpoint_every`` iterations truncates plan lineage, which
+    otherwise grows linearly and stalls the optimizer on long runs
+    (on a cluster, use checkpoint() with a reliable dir instead).
+    """
+    edges = edges.select("src", "dst").distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.withColumn("score", F.lit(1.0)).localCheckpoint(eager=True)
+    iters_run = 0
+    for i in range(max_iters):
+        contribs = (
+            ranks.join(edges, ranks.node == edges.src)
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("score") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("csum"))
+        )
+        new_ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(1.0 - d) + F.lit(d) * F.coalesce("csum", F.lit(0.0))
+            ).alias("score"),
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        delta = (
+            new_ranks.withColumnRenamed("score", "new")
+            .join(ranks, "node")
+            .agg(F.sum(F.abs(F.col("new") - F.col("score"))).alias("l1"))
+            .collect()[0]["l1"]
+        )
+        ranks = new_ranks
+        iters_run = i + 1
+        if delta is not None and float(delta) < eps:
+            break
+    if normalize:
+        total = ranks.agg(F.sum("score").alias("t"))
+        ranks = ranks.crossJoin(F.broadcast(total)).select(
+            "node", (F.col("score") / F.col("t")).alias("score")
+        )
+    return ranks, iters_run

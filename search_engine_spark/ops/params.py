@@ -41,6 +41,25 @@ ANN_SIGN_DIMS = 8                 # sign-LSH bucket over first 8 dims
 IVF_CENTROIDS = 16                # vec_id 0..15 act as coarse centroids
 IVF_PROBES = 2
 COSINE_DUP_THRESHOLD = 0.95
+# Doc-derived embedding near-dup: token-hash count vectors (md5 -> one
+# of DOC_EMBED_DIMS dims, summed tf), candidates from MinHash LSH,
+# exact cosine verification on candidates only.
+DOC_EMBED_DIMS = 64
+DOC_COSINE_DUP_THRESHOLD = 0.9
+
+# --- Random-hyperplane sign-LSH ANN (seeded, shared with the SQL
+# oracle as literals; see similarity.lsh_planes) ---
+ANN_LSH_TABLES = 24
+ANN_LSH_BITS = 4
+ANN_LSH_SEED = 42
+
+# --- IVF (k-means trained) ---
+IVF_KMEANS_K = 16
+IVF_KMEANS_ITERS = 5
+# The sf embeddings' nearest neighbors are near-orthogonal (top-10
+# cosines ~0.45-0.51), so high probe counts are needed for the 0.9
+# recall gate; clustered real-world embeddings need far fewer.
+IVF_TRAINED_PROBES = 8
 
 # --- Text stats ---
 # Marker words for the n-gram/stopword language-ID heuristic.

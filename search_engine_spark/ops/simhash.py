@@ -28,33 +28,47 @@ from search_engine_spark.ops.params import (
     SIMHASH_HAMMING_THRESHOLD,
 )
 
-# bit value of `b`-th bit (b=0 is the MSB of the first hex nibble) of
-# the md5-prefix hash of `term`
-_BIT_EXPR = (
-    "(shiftright(cast(conv(substring(md5(term), cast(b / 4 as int) + 1, 1),"
-    " 16, 10) as int), 3 - cast(b % 4 as int)) & 1)"
+# The term's 64-bit hash = first 8 bytes of MD5, big-endian (first 16
+# hex chars), assembled from two 32-bit halves; shiftleft wraps into
+# the sign bit, producing exactly the intended two's-complement
+# pattern.  Bit j (j=0 = MSB of the first hex nibble) is then
+# (h >> (63-j)) & 1 — arithmetic shift is fine because of the mask.
+_HASH64_EXPR = (
+    "shiftleft(cast(conv(substring(md5(term), 1, 8), 16, 10) as bigint), 32)"
+    " | cast(conv(substring(md5(term), 9, 8), 16, 10) as bigint)"
 )
-# shiftleft(1L, 63) wraps to Long.MIN in Spark; that is the intended
-# bit pattern for the MSB.
-_WEIGHT_EXPR = "shiftleft(cast(1 as bigint), 63 - cast(b as int))"
 
 
 def simhash_fingerprints(postings: DataFrame) -> DataFrame:
-    """postings(term, docid, tf) -> (docid, simhash bigint)."""
-    spark = postings.sparkSession
-    terms = postings.select("term").distinct()
-    bits = spark.range(64).select(F.col("id").cast("int").alias("b"))
-    term_bits = terms.crossJoin(bits).withColumn("bit", F.expr(_BIT_EXPR))
-    per_bit = (
-        postings.join(term_bits, "term")
-        .groupBy("docid", "b")
-        .agg(F.sum(F.col("tf") * (2 * F.col("bit") - 1)).alias("s"))
+    """postings(term, docid, tf) -> (docid, simhash bigint).
+
+    Scale shape: each DISTINCT term is hashed ONCE to a packed int64;
+    postings join that 1-row-per-term table (no row blowup), and the
+    64 per-bit weighted sums fold in a single groupBy(docid) with 64
+    JVM aggregate columns — map-side combine leaves one 65-column row
+    per doc per task on the shuffle, ~64x less than the exploded
+    per-bit layout.  Pure column math; the DuckDB oracle
+    (sqlgen_ops._simhash_fp_cte) is the unchanged semantic twin.
+    """
+    terms = postings.select("term").distinct().withColumn(
+        "h", F.expr(_HASH64_EXPR)
     )
-    return per_bit.groupBy("docid").agg(
-        F.bit_or(
-            F.when(F.col("s") > 0, F.expr(_WEIGHT_EXPR)).otherwise(F.lit(0))
-        ).alias("simhash")
+    joined = postings.join(terms, "term")
+    sums = joined.groupBy("docid").agg(
+        *[
+            F.sum(
+                F.col("tf")
+                * (2 * F.expr(f"(shiftright(h, {63 - j}) & 1)") - 1)
+            ).alias(f"s{j}")
+            for j in range(64)
+        ]
     )
+    fp = " | ".join(
+        f"(CASE WHEN s{j} > 0 THEN "
+        f"shiftleft(cast(1 as bigint), {63 - j}) ELSE cast(0 as bigint) END)"
+        for j in range(64)
+    )
+    return sums.select("docid", F.expr(fp).alias("simhash"))
 
 
 def simhash_bands(fp: DataFrame) -> DataFrame:

@@ -174,6 +174,249 @@ def ann_ivf(
     )
 
 
+# ---------------------------------------------------------------------------
+# Real ANN geometry (pytest-gated at recall@10 >= 0.9 vs brute_topk;
+# the simpler axis-sign / fixed-centroid variants above remain the
+# oracle-reproducible contract entries).
+# ---------------------------------------------------------------------------
+
+def lsh_planes(dim: int = 64):
+    """Seeded Gaussian hyperplanes, rounded to 6 dp so any twin
+    (SQL literal or numpy) reproduces them bit-for-bit.
+    Shape: (ANN_LSH_TABLES, ANN_LSH_BITS, dim)."""
+    import numpy as np
+
+    from search_engine_spark.ops.params import (
+        ANN_LSH_BITS,
+        ANN_LSH_SEED,
+        ANN_LSH_TABLES,
+    )
+
+    rng = np.random.RandomState(ANN_LSH_SEED)
+    return np.round(
+        rng.standard_normal((ANN_LSH_TABLES, ANN_LSH_BITS, dim)), 6
+    )
+
+
+def _dot_lit(vec_col, plane):
+    """dot(vec, literal plane) as a JVM higher-order expression."""
+    lit = F.array(*[F.lit(float(x)) for x in plane])
+    return F.aggregate(
+        F.zip_with(_as_double(vec_col), lit, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _tagged_buckets_col(vec_col, planes):
+    """array<int> of table-tagged sign-LSH buckets: entry t =
+    t * 2^bits + bucket_t(vec); candidate pairs share ANY entry
+    (arrays_overlap), i.e. match in at least one table."""
+    n_tables, n_bits, _ = planes.shape
+    out = []
+    for t in range(n_tables):
+        b = F.lit(0)
+        for j in range(n_bits):
+            b = b + F.when(
+                _dot_lit(vec_col, planes[t][j]) > 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+        out.append((F.lit(t * (1 << n_bits)) + b).cast("int"))
+    return F.array(*out)
+
+
+def ann_rand_lsh(
+    emb: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Random-hyperplane sign-LSH ANN: ANN_LSH_TABLES independent
+    tables of ANN_LSH_BITS Gaussian hyperplanes each; a vector is a
+    candidate iff it shares the query's bucket in >= 1 table.  The
+    plan shape at scale: tagged buckets are a generated column;
+    candidate generation is an arrays_overlap semi-join against the
+    broadcast query buckets (or an explode + equi-join on the tagged
+    bucket for the shuffle form); exact cosine only on candidates."""
+    planes = lsh_planes()
+    tagged = emb.withColumn("tb", _tagged_buckets_col(F.col("embedding"), planes))
+    q = tagged.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qe"), F.col("tb").alias("qtb")
+    )
+    cand = tagged.crossJoin(F.broadcast(q)).filter(
+        F.arrays_overlap("tb", "qtb") & (F.col("vec_id") != query_vec_id)
+    )
+    scored = with_cosine(cand, "embedding", "qe")
+    return (
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.round("cosine", 5).alias("cosine"),
+        )
+    )
+
+
+def kmeans_fit(emb: DataFrame, k: int | None = None, iters: int | None = None) -> DataFrame:
+    """Lloyd's k-means as DataFrame ops (the same broadcast-join +
+    groupBy loop as pagerank): assign = argmin L2 against broadcast
+    centroids; update = per-(cid, dim) mean via posexplode.  Init =
+    the k lowest vec_ids (deterministic).  Returns (cid, ce).
+
+    Scale: each iteration shuffles n*dim (docid, pos, val) rows with
+    map-side partial means — the standard distributed k-means shape;
+    centroids stay driver-small and broadcast."""
+    from search_engine_spark.ops.params import IVF_KMEANS_ITERS, IVF_KMEANS_K
+
+    k = k or IVF_KMEANS_K
+    iters = iters if iters is not None else IVF_KMEANS_ITERS
+    cent = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        _as_double(F.col("embedding")).alias("ce"),
+    )
+    for _ in range(iters):
+        assigned = _assign(emb, cent)
+        new = (
+            assigned.select(
+                "cid", F.posexplode(_as_double(F.col("embedding")))
+            )
+            .groupBy("cid", "pos")
+            .agg(F.avg("col").alias("v"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ).alias("ce")
+            )
+        )
+        # empty clusters keep their previous centroid
+        cent = new.unionByName(
+            cent.join(new.select("cid"), "cid", "left_anti")
+        ).localCheckpoint(eager=True)
+    return cent
+
+
+def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    a = _as_double(F.col("embedding"))
+    c = F.col("ce")
+    d2 = F.aggregate(
+        F.zip_with(a, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("d2", d2)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+
+
+def ann_ivf_trained(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    probes: int | None = None,
+    cent: DataFrame | None = None,
+) -> DataFrame:
+    """IVF over a k-means-trained codebook: assign all vectors to the
+    trained centroids, probe the closest `probes` lists, exact cosine
+    on the shortlist only."""
+    from search_engine_spark.ops.params import IVF_TRAINED_PROBES
+
+    probes = probes or IVF_TRAINED_PROBES
+    cent = cent if cent is not None else kmeans_fit(emb)
+    assigned = _assign(emb, cent)
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qe")
+    )
+    qd = _as_double(F.col("qe"))
+    d2 = F.aggregate(
+        F.zip_with(qd, F.col("ce"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probe_cids = (
+        cent.crossJoin(F.broadcast(q))
+        .withColumn("d2", d2)
+        .orderBy(F.asc("d2"), F.asc("cid"))
+        .limit(probes)
+        .select("cid")
+    )
+    cand = assigned.join(F.broadcast(probe_cids), "cid").filter(
+        F.col("vec_id") != query_vec_id
+    )
+    scored = with_cosine(cand.crossJoin(F.broadcast(q)), "embedding", "qe")
+    return (
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.round("cosine", 5).alias("cosine"),
+        )
+    )
+
+
+def doc_cosine_neardup(
+    docs_toks: DataFrame,
+    postings: DataFrame,
+    threshold: float | None = None,
+    dims: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over DOCUMENTS: each doc
+    becomes a DOC_EMBED_DIMS-dim token-hash count vector (dim =
+    md5-60bit(term) % dims, value = summed tf); candidate pairs come
+    from the MinHash LSH bands (never all-pairs); exact cosine is
+    verified ONLY on candidates via a sparse per-dim join — vectors
+    are never materialized as arrays, so the same plan runs at 100 TB.
+
+    Counts are small integers, so dot products and norms are exact in
+    float64 and the DuckDB twin matches bit-for-bit before rounding.
+    """
+    from search_engine_spark.ops import minhash
+    from search_engine_spark.ops.params import (
+        DOC_COSINE_DUP_THRESHOLD,
+        DOC_EMBED_DIMS,
+    )
+
+    threshold = threshold if threshold is not None else DOC_COSINE_DUP_THRESHOLD
+    dims = dims or DOC_EMBED_DIMS
+    cand = minhash.neardup_candidates(
+        minhash.minhash_signatures(docs_toks)
+    )
+    vec = (
+        postings.withColumn(
+            "dim",
+            (minhash.shingle_base_hash(F.col("term")) % dims).cast("int"),
+        )
+        .groupBy("docid", "dim")
+        .agg(F.sum("tf").cast("double").alias("v"))
+    )
+    norms = vec.groupBy("docid").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+    a = vec.select(F.col("docid").alias("docid_a"), "dim", F.col("v").alias("va"))
+    b = vec.select(F.col("docid").alias("docid_b"), "dim", F.col("v").alias("vb"))
+    dots = (
+        cand.join(a, "docid_a")
+        .join(b, ["docid_b", "dim"])
+        .groupBy("docid_a", "docid_b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    na = norms.select(F.col("docid").alias("docid_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("docid").alias("docid_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "docid_a")
+        .join(nb, "docid_b")
+        .withColumn("cosine", F.col("dot") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("docid_a").cast("long").alias("docid_a"),
+            F.col("docid_b").cast("long").alias("docid_b"),
+            F.round("cosine", 5).alias("cosine"),
+        )
+    )
+
+
 def cosine_neardup_pairs(
     emb: DataFrame, threshold: float = COSINE_DUP_THRESHOLD
 ) -> DataFrame:

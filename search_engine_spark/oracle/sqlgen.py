@@ -83,6 +83,36 @@ def bm25_topk_sql(query: str, k: int = 10) -> str:
     )
 
 
+def bm25_expanded_sql(query: str, k: int = 10) -> str:
+    """Twin of contract.q_bm25_expanded: expansion weights (corrected
+    originals 1.0, synonyms 0.7) come from the same verbatim reference
+    maps via expand_query — one source of truth, embedded as VALUES."""
+    from search_engine_spark.query.expansion import expand_query
+
+    weights = expand_query(query)
+    if not weights:
+        return "SELECT CAST(NULL AS BIGINT) AS docid, CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+    terms_in = ", ".join(f"'{t}'" for t in weights)
+    vals = ", ".join(f"('{t}', {float(w)!r})" for t, w in weights.items())
+    return (
+        "WITH " + postings_cte() + ", "
+        f"qw(term, w) AS (SELECT * FROM (VALUES {vals})), "
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, "
+        "avg(doclen) AS avgdl FROM tl), "
+        "dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings "
+        f"WHERE term IN ({terms_in}) GROUP BY term), "
+        "scored AS (SELECT p.docid, "
+        "SUM(q.w * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * "
+        f"(p.tf * ({BM25_K1} + 1.0) / (p.tf + {BM25_K1} * "
+        f"(1.0 - {BM25_B} + {BM25_B} * p.doclen / s.avgdl)))) AS raw "
+        "FROM postings p JOIN dfs d ON p.term = d.term "
+        "JOIN qw q ON p.term = q.term CROSS JOIN stats s "
+        f"WHERE p.term IN ({terms_in}) GROUP BY p.docid) "
+        "SELECT docid, ROUND(raw, 4) AS score FROM scored "
+        f"ORDER BY raw DESC, docid LIMIT {k}"
+    )
+
+
 def bm25_dedup_topk_sql(query: str, k: int = 10) -> str:
     """BM25 top-k over the sha256-deduped survivor set — the oracle
     twin of the engine's real index path (dedup -> segments -> WAND)."""
@@ -111,6 +141,119 @@ def bm25_dedup_topk_sql(query: str, k: int = 10) -> str:
         f"WHERE p.term IN ({terms_in}) GROUP BY p.docid) "
         "SELECT docid, ROUND(raw, 4) AS score FROM scored "
         f"ORDER BY raw DESC, docid LIMIT {k}"
+    )
+
+
+def bm25_and_sql(query: str, k: int = 10) -> str:
+    """Conjunctive (ES bool.must / SURVEY J4) twin of q_bm25_and:
+    the dedup-aware BM25 scorer restricted to docs containing EVERY
+    query term (count(distinct term) == n_terms)."""
+    terms = tokenize_query(query)
+    if not terms:
+        return "SELECT CAST(NULL AS BIGINT) AS docid, CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+    terms_in = ", ".join(f"'{t}'" for t in terms)
+    return (
+        "WITH surv AS (SELECT doc_id, text FROM documents "
+        "QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1), "
+        "toks AS (SELECT doc_id AS docid, "
+        f"{duckdb_tokens_sql('text')} AS toks FROM surv), "
+        "tl AS (SELECT docid, toks, len(toks) AS doclen FROM toks), "
+        "exploded AS (SELECT docid, doclen, unnest(toks) AS term FROM tl), "
+        "postings AS (SELECT term, docid, CAST(count(*) AS INT) AS tf, "
+        "doclen FROM exploded GROUP BY term, docid, doclen), "
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, "
+        "avg(doclen) AS avgdl FROM tl), "
+        "dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings "
+        f"WHERE term IN ({terms_in}) GROUP BY term), "
+        "scored AS (SELECT p.docid, "
+        "SUM(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * "
+        f"(p.tf * ({BM25_K1} + 1.0) / (p.tf + {BM25_K1} * "
+        f"(1.0 - {BM25_B} + {BM25_B} * p.doclen / s.avgdl)))) AS raw "
+        "FROM postings p JOIN dfs d ON p.term = d.term CROSS JOIN stats s "
+        f"WHERE p.term IN ({terms_in}) GROUP BY p.docid "
+        f"HAVING COUNT(DISTINCT p.term) = {len(terms)}) "
+        "SELECT docid, ROUND(raw, 4) AS score FROM scored "
+        f"ORDER BY raw DESC, docid LIMIT {k}"
+    )
+
+
+def bm25_fields_sql(query: str, k: int = 10, expand: bool = False) -> str:
+    """Twin of contract.q_bm25_fields: field-weighted BM25 over the
+    deduped corpus — content plus title (= first text line) fields,
+    each with its own df/avgdl statistics; boosts title^3/content^1
+    (synonyms title^2/content^0.8) from the shared field_weights."""
+    from search_engine_spark.contract import TITLE_EXPR
+    from search_engine_spark.query.expansion import field_weights
+
+    fw = field_weights(query, expand=expand)
+    if not fw:
+        return "SELECT CAST(NULL AS BIGINT) AS docid, CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+    terms_in = ", ".join(f"'{t}'" for t, _, _ in fw)
+    vals = ", ".join(
+        f"('{t}', {float(wc)!r}, {float(wt)!r})" for t, wc, wt in fw
+    )
+    tfn_c = (
+        f"(p.tf * ({BM25_K1} + 1.0) / (p.tf + {BM25_K1} * "
+        f"(1.0 - {BM25_B} + {BM25_B} * p.doclen / s.avgdl)))"
+    )
+    tfn_t = (
+        f"(p.tf * ({BM25_K1} + 1.0) / (p.tf + {BM25_K1} * "
+        f"(1.0 - {BM25_B} + {BM25_B} * p.doclen / s.avgdl_title)))"
+    )
+    return (
+        "WITH surv AS (SELECT doc_id, text FROM documents "
+        "QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1), "
+        "toks AS (SELECT doc_id AS docid, "
+        f"{duckdb_tokens_sql('text')} AS toks FROM surv), "
+        "tl AS (SELECT docid, toks, len(toks) AS doclen FROM toks), "
+        "exploded AS (SELECT docid, doclen, unnest(toks) AS term FROM tl), "
+        "postings AS (SELECT term, docid, CAST(count(*) AS INT) AS tf, "
+        "doclen FROM exploded GROUP BY term, docid, doclen), "
+        "ttoks AS (SELECT doc_id AS docid, "
+        f"{duckdb_tokens_sql(TITLE_EXPR)} AS toks FROM surv), "
+        "ttl AS (SELECT docid, toks, len(toks) AS doclen FROM ttoks), "
+        "texploded AS (SELECT docid, doclen, unnest(toks) AS term FROM ttl), "
+        "tpostings AS (SELECT term, docid, CAST(count(*) AS INT) AS tf, "
+        "doclen FROM texploded GROUP BY term, docid, doclen), "
+        "stats AS (SELECT CAST((SELECT count(*) FROM tl) AS DOUBLE) AS n_docs, "
+        "(SELECT avg(doclen) FROM tl) AS avgdl, "
+        "(SELECT avg(doclen) FROM ttl) AS avgdl_title), "
+        "dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings "
+        f"WHERE term IN ({terms_in}) GROUP BY term), "
+        "tdfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tpostings "
+        f"WHERE term IN ({terms_in}) GROUP BY term), "
+        f"qw(term, wc, wt) AS (SELECT * FROM (VALUES {vals})), "
+        "contribs AS ("
+        "SELECT p.docid, "
+        "q.wc * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * "
+        f"{tfn_c} AS c "
+        "FROM postings p JOIN dfs d ON p.term = d.term "
+        "JOIN qw q ON p.term = q.term CROSS JOIN stats s "
+        f"WHERE p.term IN ({terms_in}) "
+        "UNION ALL "
+        "SELECT p.docid, "
+        "q.wt * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * "
+        f"{tfn_t} AS c "
+        "FROM tpostings p JOIN tdfs d ON p.term = d.term "
+        "JOIN qw q ON p.term = q.term CROSS JOIN stats s "
+        f"WHERE p.term IN ({terms_in})), "
+        "scored AS (SELECT docid, SUM(c) AS raw FROM contribs "
+        "GROUP BY docid) "
+        "SELECT docid, ROUND(raw, 4) AS score FROM scored "
+        f"ORDER BY raw DESC, docid LIMIT {k}"
+    )
+
+
+def highlight_sql(query: str, limit: int = 100) -> str:
+    """Twin of contract.q_highlight (shared rule/constants in
+    query/highlight.py)."""
+    from search_engine_spark.query.highlight import highlight_snippet_sql
+
+    terms = tokenize_query(query)
+    return (
+        "SELECT doc_id AS docid, "
+        f"{highlight_snippet_sql('text', terms)} AS snippet "
+        f"FROM documents ORDER BY doc_id LIMIT {limit}"
     )
 
 

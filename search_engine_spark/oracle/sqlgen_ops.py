@@ -273,15 +273,56 @@ def ann_ivf_sql(k: int = 10) -> str:
 
 
 def cosine_neardup_sql() -> str:
+    """Doc-derived embedding near-dup twin of
+    contract_ops.q_cosine_neardup: token-hash count vectors (dim =
+    md5-60bit(term) % DOC_EMBED_DIMS, value = sum(tf)), candidates
+    from the MinHash LSH bands, exact sparse cosine on candidates."""
+    from search_engine_spark.ops.params import (
+        DOC_COSINE_DUP_THRESHOLD,
+        DOC_EMBED_DIMS,
+    )
+
+    n, nm1, r = SHINGLE_N, SHINGLE_N - 1, MINHASH_ROWS
     return (
-        "WITH be AS (SELECT vec_id, embedding, "
-        f"{_sign_bucket_expr('embedding')} AS bucket FROM embeddings) "
-        "SELECT CAST(a.vec_id AS BIGINT) AS vec_a, "
-        "CAST(b.vec_id AS BIGINT) AS vec_b, "
-        f"ROUND({_cosine_expr('a.embedding', 'b.embedding')}, 5) AS cosine "
-        "FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id "
-        f"WHERE {_cosine_expr('a.embedding', 'b.embedding')} >= "
-        f"{COSINE_DUP_THRESHOLD} ORDER BY vec_a, vec_b"
+        "WITH " + postings_cte() + ", "
+        # MinHash candidate CTEs (same constants as minhash_*_sql),
+        # reusing the tl CTE from postings_cte
+        f"sh0 AS (SELECT docid, CASE WHEN len(toks) < {n} "
+        "THEN [array_to_string(toks, ' ')] "
+        f"ELSE list_transform(generate_series(1, len(toks) - {n} + 1), "
+        f"i -> array_to_string(toks[i:i+{nm1}], ' ')) END AS shingles "
+        "FROM tl), "
+        "sh AS (SELECT docid, unnest(list_distinct(shingles)) AS shingle "
+        "FROM sh0), "
+        "shh AS (SELECT docid, shingle, "
+        f"(('0x' || substr(md5(shingle), 1, 15))::BIGINT) % {_P} AS hm "
+        "FROM sh), "
+        + _seeds_values() + ", "
+        f"sig AS (SELECT docid, s.i, MIN((s.a * hm + s.b) % {_P}) AS minhash "
+        "FROM shh CROSS JOIN seeds s GROUP BY docid, s.i), "
+        f"bands AS (SELECT docid, i // {r} AS band, "
+        f"SUM((minhash % {_P}) * CAST(31 ** (i % {r}) AS BIGINT)) % {_P} "
+        f"AS band_val FROM sig GROUP BY docid, i // {r}), "
+        "cand AS (SELECT DISTINCT a.docid AS docid_a, b.docid AS docid_b "
+        "FROM bands a JOIN bands b ON a.band = b.band "
+        "AND a.band_val = b.band_val AND a.docid < b.docid), "
+        # token-hash count vectors + sparse cosine on candidates only
+        "vec AS (SELECT docid, "
+        f"((('0x' || substr(md5(term), 1, 15))::BIGINT) % {DOC_EMBED_DIMS}) "
+        "AS dim, CAST(SUM(tf) AS DOUBLE) AS v "
+        "FROM postings GROUP BY docid, dim), "
+        "norms AS (SELECT docid, sqrt(SUM(v * v)) AS nrm FROM vec "
+        "GROUP BY docid), "
+        "dots AS (SELECT c.docid_a, c.docid_b, SUM(a.v * b.v) AS dot "
+        "FROM cand c JOIN vec a ON a.docid = c.docid_a "
+        "JOIN vec b ON b.docid = c.docid_b AND b.dim = a.dim "
+        "GROUP BY c.docid_a, c.docid_b) "
+        "SELECT d.docid_a, d.docid_b, "
+        "ROUND(d.dot / (na.nrm * nb.nrm), 5) AS cosine "
+        "FROM dots d JOIN norms na ON na.docid = d.docid_a "
+        "JOIN norms nb ON nb.docid = d.docid_b "
+        f"WHERE d.dot / (na.nrm * nb.nrm) >= {DOC_COSINE_DUP_THRESHOLD} "
+        "ORDER BY docid_a, docid_b"
     )
 
 
@@ -344,7 +385,8 @@ def spell_suggest_sql() -> str:
         "dict AS (SELECT DISTINCT term FROM postings), "
         "j AS (SELECT w.word, d.term, levenshtein(w.word, d.term) AS dist "
         "FROM words w CROSS JOIN dict d "
-        "WHERE levenshtein(w.word, d.term) <= 2) "
+        "WHERE abs(len(w.word) - len(d.term)) <= 2 "
+        "AND levenshtein(w.word, d.term) <= 2) "
         "SELECT word, term AS suggestion, CAST(dist AS INT) AS dist FROM j "
         "QUALIFY row_number() OVER (PARTITION BY word "
         "ORDER BY dist, term) = 1 ORDER BY word"

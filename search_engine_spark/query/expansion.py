@@ -18,27 +18,38 @@ from __future__ import annotations
 
 from search_engine_spark.tokenizer import py_tokenize, tokenize_query
 
-# Verbatim from QueryExpansionService.java:17-30.
+# Verbatim from QueryExpansionService.java:17-31 (SYNONYM_MAP), same
+# keys, same entries, same order.
 SYNONYMS: dict[str, tuple[str, ...]] = {
-    "java": ("jvm", "jdk", "spring"),
-    "python": ("py", "django", "flask"),
-    "javascript": ("js", "node", "react"),
-    "search": ("find", "query", "lookup"),
-    "database": ("db", "sql", "storage"),
-    "algorithm": ("algo", "method", "technique"),
-    "tutorial": ("guide", "howto", "lesson"),
+    # Programming terms
+    "java": ("jdk", "jvm", "javac"),
+    "python": ("py", "python3", "cpython"),
+    "javascript": ("js", "ecmascript", "node"),
+    # General terms
+    "search": ("find", "lookup", "query"),
+    "database": ("db", "datastore", "repository"),
+    "algorithm": ("algo", "procedure", "method"),
+    "tutorial": ("guide", "howto", "walkthrough"),
+    # Technical terms
     "api": ("interface", "endpoint", "service"),
     "framework": ("library", "toolkit", "platform"),
     "bug": ("error", "issue", "defect"),
 }
 
-# Mirrors the reference's misspelling map (QueryExpansionService.java:85-103).
+# Verbatim from QueryExpansionService.java:88-92 (commonMisspellings).
 MISSPELLINGS: dict[str, str] = {
-    "javascirpt": "javascript",
+    "algoritm": "algorithm",
     "pyton": "python",
+    "javascirpt": "javascript",
+    "databse": "database",
+}
+
+# Deliberate code-corpus additions — NOT in the reference; kept
+# separate so reference parity stays byte-exact above.  Applied after
+# (and never overriding) the reference map.
+EXTRA_MISSPELLINGS: dict[str, str] = {
     "pythn": "python",
     "jaava": "java",
-    "databse": "database",
     "serach": "search",
     "algorithim": "algorithm",
     "framwork": "framework",
@@ -49,8 +60,10 @@ SYNONYM_WEIGHT = 0.7
 
 
 def correct_terms(terms: list[str]) -> list[str]:
-    """Apply the fixed misspelling map (X5's cheap path)."""
-    return [MISSPELLINGS.get(t, t) for t in terms]
+    """Apply the fixed misspelling maps (X5's cheap path): reference
+    corrections first, then the documented code-corpus extras."""
+    merged = {**EXTRA_MISSPELLINGS, **MISSPELLINGS}
+    return [merged.get(t, t) for t in terms]
 
 
 def expand_query(query: str) -> dict[str, float]:
@@ -69,6 +82,34 @@ def expand_query(query: str) -> dict[str, float]:
                 if st not in weights:
                     weights[st] = SYNONYM_WEIGHT
     return weights
+
+
+def field_weights(query: str, expand: bool = False) -> list[tuple]:
+    """[(term, w_content, w_title)] for the reference's intended
+    field-weighted query (docs/features/query-expansion-nlp.md:260-275):
+    corrected originals at content^1.0 / title^3.0, synonyms (when
+    ``expand``) at content^0.8 / title^2.0.  Shared by the engine's
+    search_fields and the DuckDB oracle twin."""
+    from search_engine_spark.config import (
+        CONTENT_BOOST,
+        CONTENT_SYNONYM_BOOST,
+        TITLE_BOOST,
+        TITLE_SYNONYM_BOOST,
+    )
+
+    orig = list(dict.fromkeys(correct_terms(tokenize_query(query))))
+    out = [(t, CONTENT_BOOST, TITLE_BOOST) for t in orig]
+    if expand:
+        seen = set(orig)
+        for t in orig:
+            for s in SYNONYMS.get(t, ()):
+                for st in py_tokenize(s) or [s]:
+                    if st not in seen:
+                        seen.add(st)
+                        out.append(
+                            (st, CONTENT_SYNONYM_BOOST, TITLE_SYNONYM_BOOST)
+                        )
+    return out
 
 
 def suggest_spelling(

@@ -30,7 +30,7 @@ TOPK_SCHEMA = "docid long, score double"
 
 
 def slab_topk(
-    chunks: list[tuple[TermChunk, float]],
+    chunks: list[tuple],
     slab_base: int,
     slab_size: int,
     block_size: int,
@@ -40,13 +40,32 @@ def slab_topk(
     avgdl: float,
     bound_scale: float = 1.0,
     batch_blocks: int = 64,
+    n_required: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Top-k of one slab. chunks = [(TermChunk, idf), ...] (same term
-    may appear in several chunks across generations — additive)."""
+    """Top-k of one slab.
+
+    chunks = [(TermChunk, idf), ...] — scored with the slab-wide
+    ``avgdl``/``bound_scale`` args — or [(TermChunk, w_idf, avgdl,
+    bound_scale), ...] for per-chunk field statistics (field-weighted
+    BM25F-style scoring: w_idf = field_boost * idf_field, avgdl =
+    that field's average length).  The same term may appear in several
+    chunks across generations/fields — contributions are additive.
+
+    ``n_required > 0`` enables conjunctive (ES bool.must / AND) mode:
+    only documents matched by at least ``n_required`` distinct chunks
+    survive.  Callers must ensure one chunk per (term, doc) — true for
+    single-field queries because a doc lives in exactly one generation.
+    The OR-semantics block upper bound remains a valid (looser) bound
+    for the conjunctive scores, so pruning stays exact.
+    """
+    chunks = [
+        (c[0], c[1], avgdl, bound_scale) if len(c) == 2 else c
+        for c in chunks
+    ]
     n_grid = (slab_size + block_size - 1) // block_size
     ub = np.zeros(n_grid, dtype=np.float64)
-    for c, idf in chunks:
-        np.add.at(ub, c.block_ids, idf * c.block_max * bound_scale)
+    for c, idf, _a, bscale in chunks:
+        np.add.at(ub, c.block_ids, idf * c.block_max * bscale)
     # 1e-12 relative inflation: the bound sum and the true score sum
     # the same float terms in different orders, so a doc could exceed
     # the "upper" bound by a few ulps — inflate so pruning stays sound.
@@ -55,6 +74,7 @@ def slab_topk(
     order = active[np.argsort(-ub[active], kind="stable")]
 
     scores = np.zeros(slab_size, dtype=np.float64)
+    counts = np.zeros(slab_size, dtype=np.int32) if n_required else None
     best_ids = np.zeros(0, dtype=np.int64)
     best_scores = np.zeros(0, dtype=np.float64)
     theta = -np.inf
@@ -69,19 +89,28 @@ def slab_topk(
             batch = batch[:cut] if cut > 0 else batch[:1]
         pos += len(batch)
         touched_parts = []
-        for c, idf in chunks:
+        for c, idf, c_avgdl, _b in chunks:
             sel = np.flatnonzero(np.isin(c.block_ids, batch))
             if len(sel) == 0:
                 continue
             local, tf, dl = c.decode_blocks(sel, block_size)
-            contrib = idf * tf_norm_factor(tf, dl, k1, b, avgdl)
+            contrib = idf * tf_norm_factor(tf, dl, k1, b, c_avgdl)
             np.add.at(scores, local, contrib)
+            if counts is not None:
+                np.add.at(counts, local, 1)
             touched_parts.append(local)
         if not touched_parts:
             continue
         touched = np.unique(np.concatenate(touched_parts))
         cand_scores = scores[touched]
         scores[touched] = 0.0  # reset buffer for next batch
+        if counts is not None:
+            # docs never span blocks, so coverage is complete here
+            keep = counts[touched] >= n_required
+            counts[touched] = 0
+            touched, cand_scores = touched[keep], cand_scores[keep]
+            if len(touched) == 0:
+                continue
         best_ids = np.concatenate([best_ids, touched])
         best_scores = np.concatenate([best_scores, cand_scores])
         if len(best_ids) > k:
@@ -144,17 +173,26 @@ def make_slab_scorer(
     b: float,
     avgdl: float,
     bound_scale: float = 1.0,
+    n_required: int = 0,
 ):
     """applyInPandas scorer: group = one slab's matching segment rows.
 
-    Input rows: (slab, term, idf, postings, skips, block_max).
+    Input rows: (slab, term, idf, postings, skips, block_max) plus
+    optional per-row ``avgdl``/``bscale`` columns for field-weighted
+    scoring (each field's chunks carry that field's stats).
     Output: that slab's top-k (docid, score).
     """
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         slab = int(pdf["slab"].iloc[0])
+        per_field = "avgdl" in pdf.columns
         chunks = [
-            (TermChunk(r.postings, r.skips, r.block_max), float(r.idf))
+            (
+                TermChunk(r.postings, r.skips, r.block_max),
+                float(r.idf),
+                float(r.avgdl) if per_field else avgdl,
+                float(r.bscale) if per_field else bound_scale,
+            )
             for r in pdf.itertuples()
         ]
         ids, sc = slab_topk(
@@ -167,6 +205,7 @@ def make_slab_scorer(
             b,
             avgdl,
             bound_scale,
+            n_required=n_required,
         )
         return pd.DataFrame({"docid": ids, "score": sc})
 

@@ -44,9 +44,27 @@ class OracleIndex:
         self.avgdl = (
             sum(self.doclen.values()) / self.n_docs if self.n_docs else 0.0
         )
+        # title field: path basename tokens (F2 analog)
+        self.title_postings: dict[str, dict[int, int]] = defaultdict(dict)
+        self.title_len: dict[int, int] = {}
+        for docid, d in enumerate(survivors):
+            ttoks = py_tokenize(d["path"].rsplit("/", 1)[-1])
+            self.title_len[docid] = len(ttoks)
+            tf2: dict[str, int] = defaultdict(int)
+            for t in ttoks:
+                tf2[t] += 1
+            for t, c in tf2.items():
+                self.title_postings[t][docid] = c
+        self.avgdl_title = (
+            sum(self.title_len.values()) / self.n_docs if self.n_docs else 0.0
+        )
 
     def idf(self, term: str) -> float:
         df = len(self.postings.get(term, {}))
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def idf_title(self, term: str) -> float:
+        df = len(self.title_postings.get(term, {}))
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
     def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
@@ -69,6 +87,45 @@ class OracleIndex:
                     / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / self.avgdl))
                 )
                 scores[docid] += w * tfn
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+    def search_and(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Conjunctive (bool.must): docs containing EVERY query term."""
+        terms = tokenize_query(query)
+        if not terms:
+            return []
+        ranked = self.search_weighted({t: 1.0 for t in terms}, 10**9)
+        keep = [
+            (d, s)
+            for d, s in ranked
+            if all(d in self.postings.get(t, {}) for t in terms)
+        ]
+        return keep[:k]
+
+    def search_fields(
+        self, fw: list[tuple], k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Field-weighted BM25: fw = [(term, w_content, w_title)];
+        per-field df/avgdl, contributions summed across fields."""
+        scores: dict[int, float] = defaultdict(float)
+        for t, wc, wt in sorted(fw):
+            for plist, dlmap, avgdl, idf, w in (
+                (self.postings.get(t), self.doclen, self.avgdl,
+                 self.idf(t), wc),
+                (self.title_postings.get(t), self.title_len,
+                 self.avgdl_title, self.idf_title(t), wt),
+            ):
+                if not plist or not w:
+                    continue
+                wi = w * idf
+                for docid, tf in plist.items():
+                    dl = dlmap[docid]
+                    tfn = (
+                        tf * (BM25_K1 + 1.0)
+                        / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+                    )
+                    scores[docid] += wi * tfn
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 

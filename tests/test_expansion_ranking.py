@@ -38,10 +38,32 @@ def test_expand_query_semantics():
     assert w["jvm"] == 0.7 and w["query"] == 0.7 and w["lookup"] == 0.7
     # correction applies before expansion
     w2 = expand_query("pyton")
-    assert w2["python"] == 1.0 and w2.get("django") == 0.7
+    assert w2["python"] == 1.0 and w2.get("python3") == 0.7
     # original term never downgraded by being another term's synonym
-    w3 = expand_query("java spring")
-    assert w3["spring"] == 1.0
+    w3 = expand_query("java jdk")
+    assert w3["jdk"] == 1.0
+
+
+def test_maps_verbatim_from_reference():
+    """Byte-parity with QueryExpansionService.java:17-31,88-92."""
+    assert SYNONYMS == {
+        "java": ("jdk", "jvm", "javac"),
+        "python": ("py", "python3", "cpython"),
+        "javascript": ("js", "ecmascript", "node"),
+        "search": ("find", "lookup", "query"),
+        "database": ("db", "datastore", "repository"),
+        "algorithm": ("algo", "procedure", "method"),
+        "tutorial": ("guide", "howto", "walkthrough"),
+        "api": ("interface", "endpoint", "service"),
+        "framework": ("library", "toolkit", "platform"),
+        "bug": ("error", "issue", "defect"),
+    }
+    assert MISSPELLINGS == {
+        "algoritm": "algorithm",
+        "pyton": "python",
+        "javascirpt": "javascript",
+        "databse": "database",
+    }
 
 
 def test_weighted_search_matches_oracle(engine, oracle):
