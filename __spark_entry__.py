@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pagerank": CO.q_pagerank,
             "diversify_by_source": CO.q_diversify_by_source,
             "spell_suggest": CO.q_spell_suggest,
+            "url_priority": CO.q_url_priority,
             "status_rollup": CO.q_status_rollup,
             "top_customers": CO.q_top_customers,
             "freshness_decay": CO.q_freshness_decay,
@@ -159,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
             "pagerank": OO.pagerank_sql(),
             "diversify_by_source": OO.diversify_by_source_sql(),
             "spell_suggest": OO.spell_suggest_sql(),
+            "url_priority": OO.url_priority_sql(),
             "status_rollup": OO.status_rollup_sql(),
             "top_customers": OO.top_customers_sql(),
             "freshness_decay": OO.freshness_decay_sql(),

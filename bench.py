@@ -47,7 +47,15 @@ REFERENCE_QUERIES = {
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    requested_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # This host's hypervisor sustains ~8 cores; local[32] measurably
+    # ANTI-scales (GC + scheduler thrash on an oversubscribed VM —
+    # BENCH/BASELINE.md).  The harness therefore sizes local-mode
+    # threads to the sustained envelope, like any production launcher
+    # sizes executors to real cores; raise SPARK_GRAFT_MAX_LOCAL on
+    # genuine hardware.
+    max_local = int(os.environ.get("SPARK_GRAFT_MAX_LOCAL", "8"))
+    cpus = min(requested_cpus, max_local)
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "40000"))
 
     from search_engine_spark.config import EngineConfig
@@ -57,7 +65,11 @@ def main() -> None:
 
     spark = get_spark("bench", parallelism=cpus, shuffle_partitions=cpus)
     queries: dict[str, float] = {}
-    extras: dict = {"parallelism": cpus, "bench_docs": n_docs}
+    extras: dict = {
+        "parallelism": cpus,
+        "requested_parallelism": requested_cpus,
+        "bench_docs": n_docs,
+    }
 
     # --- corpus (generation excluded from build timing; cached) ---
     corpus_path = f"/tmp/sgb_corpus_{n_docs}"

@@ -23,6 +23,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run_bench(cpus: int, docs: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
+    # the harness caps local threads at the host's sustained envelope;
+    # a scaling run must measure the REQUESTED level, so lift the cap
+    env["SPARK_GRAFT_MAX_LOCAL"] = str(cpus)
     env["SPARK_GRAFT_BENCH_DOCS"] = str(docs)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],

@@ -99,6 +99,61 @@ def q_cosine_neardup(spark, sf_dir) -> DataFrame:
     )
 
 
+# --- URL prioritization (X10/X11/X12, F6) ----------------------------------
+
+# Deterministic URL fixture over the documents table, exercising every
+# branch of the reference formulas (trust table, .edu/.gov TLDs,
+# length/query/session penalties, content bonus).  One SQL-dialect-
+# neutral expression string, evaluated by F.expr AND embedded in the
+# DuckDB twin — a single source of truth for the fixture.
+HOST_EXPR = (
+    "(CASE CAST(doc_id % 9 AS INT)"
+    " WHEN 0 THEN 'en.wikipedia.org'"
+    " WHEN 1 THEN 'github.com'"
+    " WHEN 2 THEN 'api.stackoverflow.com'"
+    " WHEN 3 THEN 'cs.stanford.edu'"
+    " WHEN 4 THEN 'www.nasa.gov'"
+    " WHEN 5 THEN 'blog.medium.com'"
+    " WHEN 6 THEN source || '.example.net'"
+    " ELSE source || '.io' END)"
+)
+PATH_EXPR = (
+    "(CASE CAST(doc_id % 7 AS INT)"
+    " WHEN 0 THEN '/admin/x'"
+    " WHEN 1 THEN '/blog/' || repeat('ab', CAST(doc_id % 70 AS INT))"
+    " WHEN 2 THEN '/post/p?x=1' || repeat('&a=1', CAST(doc_id % 8 AS INT))"
+    " WHEN 3 THEN '/s?jsessionid=abc'"
+    " WHEN 4 THEN '/article/deep'"
+    " WHEN 5 THEN '/login'"
+    " ELSE '/page/plain' END)"
+)
+URL_EXPR = f"'https://' || {HOST_EXPR} || {PATH_EXPR}"
+DEPTH_EXPR = "CAST(doc_id % 6 AS INT)"
+
+
+def q_url_priority(spark, sf_dir) -> DataFrame:
+    """X11/X12: the reference's URL priority + domain-trust formulas
+    (UrlPrioritizationService.java:33-121) over a deterministic URL
+    fixture; DuckDB twin = sqlgen_ops.url_priority_sql."""
+    from search_engine_spark.ops import priority as P
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .withColumn("url", F.expr(URL_EXPR))
+        .withColumn("depth", F.expr(DEPTH_EXPR))
+    )
+    return (
+        d.select(
+            F.col("doc_id").cast("long").alias("docid"),
+            F.round(P.domain_trust_col("url"), 5).alias("trust"),
+            F.round(P.priority_col("url", "depth"), 5).alias("priority"),
+            P.is_high_priority("url", "depth").alias("high"),
+            P.should_skip("url", "depth").alias("skip"),
+        )
+        .orderBy("docid")
+    )
+
+
 # --- Graph -----------------------------------------------------------------
 
 def q_pagerank(spark, sf_dir) -> DataFrame:

@@ -101,6 +101,93 @@ def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
     )
 
 
+def resize_image(payload: bytes, width: int, height: int):
+    """Real resize requires PIL/libvips — not in this container."""
+    raise NotImplementedError(
+        "image resize stub: install pillow and replace this body with "
+        "PIL.Image.open(...).resize((width, height)); fake_thumbnail "
+        "below exercises the identical Spark plumbing"
+    )
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame binary"
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 4096, every_n: int = 10
+) -> DataFrame:
+    """Video frame sampling plumbing: one media row fans out to many
+    (media_id, frame_idx, frame) rows — every ``every_n``-th
+    fixed-size slice of the payload.  With a real container parser
+    the slicing becomes keyframe offsets; the Spark shape (mapInPandas
+    row fan-out, binary frames, downstream repartition by media_id
+    for per-video locality) is exactly the production one.
+    """
+
+    def frames(it):
+        for pdf in it:
+            ids, idxs, blobs = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                buf = bytes(payload)
+                n_frames = max(1, len(buf) // frame_bytes)
+                for fi in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    blobs.append(buf[fi * frame_bytes:(fi + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": blobs}
+            )
+
+    return (
+        media.filter(F.col("media_type") == "video/mp4")
+        .select("media_id", "media")
+        .mapInPandas(frames, schema=FRAME_SCHEMA)
+    )
+
+
+AUDIO_WINDOW_SCHEMA = (
+    "media_id long, window_idx int, rms double, peak int"
+)
+
+
+def audio_windows(
+    media: DataFrame, win_bytes: int = 1024, hop_bytes: int = 512
+) -> DataFrame:
+    """Audio windowing plumbing: overlapping fixed-width windows with
+    per-window RMS/peak over the raw bytes (numpy sliding-window
+    strides — zero Python byte loops).  A real pipeline swaps the
+    byte view for decoded PCM; window math and fan-out are identical.
+    """
+
+    def wins(it):
+        for pdf in it:
+            ids, idxs, rms, peak = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(arr) < win_bytes:
+                    arr = np.pad(arr, (0, win_bytes - len(arr)))
+                n_win = 1 + (len(arr) - win_bytes) // hop_bytes
+                idx = (
+                    np.arange(win_bytes)[None, :]
+                    + hop_bytes * np.arange(n_win)[:, None]
+                )
+                w = arr[idx].astype(np.float64)
+                ids.extend([mid] * n_win)
+                idxs.extend(range(n_win))
+                rms.extend(np.sqrt((w * w).mean(axis=1)).tolist())
+                peak.extend(w.max(axis=1).astype(int).tolist())
+            yield pd.DataFrame(
+                {"media_id": ids, "window_idx": idxs, "rms": rms,
+                 "peak": peak}
+            )
+
+    return (
+        media.filter(F.col("media_type") == "audio/wav")
+        .select("media_id", "media")
+        .mapInPandas(wins, schema=AUDIO_WINDOW_SCHEMA)
+    )
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Per-type rollup over the typed metadata (never touches bytes)."""
     return (

@@ -326,6 +326,65 @@ def cosine_neardup_sql() -> str:
     )
 
 
+# --- URL prioritization ----------------------------------------------------
+
+def url_priority_sql() -> str:
+    """Twin of contract_ops.q_url_priority — the reference's priority
+    formula (UrlPrioritizationService.java:33-121) over the shared
+    URL fixture expressions."""
+    from search_engine_spark.contract_ops import (
+        DEPTH_EXPR,
+        HOST_EXPR,
+        URL_EXPR,
+    )
+
+    trust = (
+        "(CASE WHEN host LIKE '%wikipedia.org%' THEN 0.9::DOUBLE "
+        "WHEN host LIKE '%github.com%' THEN 0.85::DOUBLE "
+        "WHEN host LIKE '%stackoverflow.com%' THEN 0.85::DOUBLE "
+        "WHEN host LIKE '%medium.com%' THEN 0.75::DOUBLE "
+        "WHEN host LIKE '%.edu' THEN 0.85::DOUBLE "
+        "WHEN host LIKE '%.gov' THEN 0.80::DOUBLE "
+        "ELSE 0.5::DOUBLE END)"
+    )
+    # all-DOUBLE arithmetic in the same op order as the Spark columns:
+    # DuckDB would otherwise use exact DECIMAL for literal math and
+    # diverge from IEEE doubles by ulps at comparison boundaries
+    depth_score = (
+        "greatest(0.1::DOUBLE, 1.0::DOUBLE - depth::DOUBLE * 0.3::DOUBLE)"
+    )
+    chars = (
+        "greatest(0.0::DOUBLE, least(1.0::DOUBLE, 1.0::DOUBLE "
+        "- (CASE WHEN length(url) > 200 THEN 0.3::DOUBLE "
+        "WHEN length(url) > 100 THEN 0.15::DOUBLE ELSE 0.0::DOUBLE END) "
+        "- (CASE WHEN length(url) - length(replace(url, '&', '')) > 5 "
+        "THEN 0.2::DOUBLE WHEN length(url) - length(replace(url, '&', '')) > 3 "
+        "THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END) "
+        "- (CASE WHEN url LIKE '%sessionid%' OR url LIKE '%PHPSESSID%' "
+        "OR url LIKE '%jsessionid%' THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END) "
+        "+ (CASE WHEN url LIKE '%/blog/%' OR url LIKE '%/article/%' "
+        "OR url LIKE '%/post/%' THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END) "
+        "- (CASE WHEN url LIKE '%/admin/%' OR url LIKE '%/login%' "
+        "OR url LIKE '%/api/%' THEN 0.5::DOUBLE ELSE 0.0::DOUBLE END)))"
+    )
+    prio = (
+        f"least(1.0::DOUBLE, greatest(0.0::DOUBLE, "
+        f"{trust} * 0.4::DOUBLE + {depth_score} * 0.3::DOUBLE "
+        f"+ {chars} * 0.3::DOUBLE))"
+    )
+    return (
+        "WITH u AS (SELECT doc_id, "
+        f"{HOST_EXPR} AS host, {URL_EXPR} AS url, {DEPTH_EXPR} AS depth "
+        "FROM documents) "
+        "SELECT CAST(doc_id AS BIGINT) AS docid, "
+        f"ROUND({trust}, 5) AS trust, "
+        f"ROUND({prio}, 5) AS priority, "
+        f"({prio}) > 0.7 AS high, "
+        f"({prio}) < 0.2 AS skip "
+        "FROM u ORDER BY docid"
+    )
+
+
 # --- PageRank (unrolled) ---------------------------------------------------
 
 def pagerank_sql() -> str:

@@ -130,6 +130,41 @@ def test_search_with_meta_highlight(engine):
     assert all("title" in r.asDict() for r in rows)
 
 
+def test_fields_scan_pushes_both_namespaces(spark, engine):
+    """Pruning regression guard for the two-field path: content AND
+    t#-prefixed title terms (plus their buckets) must reach the
+    parquet scan as pushed filters — file skipping is what keeps a
+    field-weighted query from scanning the whole segment store."""
+    import io
+    from contextlib import redirect_stdout
+
+    spark.catalog.clearCache()
+    eng = SearchEngine(spark, engine.index_dir, cache=False)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        eng._pruned_segments(["merge", "t#merge"]).explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "merge" in pushed and "t#merge" in pushed
+    assert "bucket" in pushed
+
+
+def test_search_fields_plan_broadcasts_weights(spark, engine):
+    """The per-(term, field) weight/idf table must broadcast — a
+    shuffle join against the segment scan would defeat the pruned
+    scan at cluster scale."""
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        engine.search_fields("merge buffer", 10).explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_intent_classifier():
     assert classify_intent("how to merge segments") == TUTORIAL
     assert classify_intent("python tutorial") == TUTORIAL

@@ -28,6 +28,51 @@ def test_decode_stub_raises():
         mm.decode_image(b"\x89PNG")
 
 
+def test_resize_stub_raises():
+    with pytest.raises(NotImplementedError):
+        mm.resize_image(b"\x89PNG", 64, 64)
+
+
+def test_frame_sampling_fanout(media):
+    frames = mm.sample_frames(media, frame_bytes=512, every_n=3).collect()
+    assert frames, "video rows must fan out to frames"
+    vids = {r["media_id"]: bytes(r["media"])
+            for r in media.filter(F.col("media_type") == "video/mp4")
+            .select("media_id", "media").collect()}
+    by_vid = {}
+    for r in frames:
+        by_vid.setdefault(r["media_id"], []).append(r)
+    assert set(by_vid) == set(vids)
+    for mid, rs in by_vid.items():
+        idxs = sorted(r["frame_idx"] for r in rs)
+        assert idxs == list(range(0, max(1, len(vids[mid]) // 512), 3))
+        for r in rs:
+            off = r["frame_idx"] * 512
+            assert bytes(r["frame"]) == vids[mid][off:off + 512]
+
+
+def test_audio_windows_match_numpy(media):
+    wins = mm.audio_windows(media, win_bytes=256, hop_bytes=128).collect()
+    assert wins
+    auds = {r["media_id"]: bytes(r["media"])
+            for r in media.filter(F.col("media_type") == "audio/wav")
+            .select("media_id", "media").collect()}
+    by_id = {}
+    for r in wins:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == set(auds)
+    for mid, rs in list(by_id.items())[:5]:
+        arr = np.frombuffer(auds[mid], dtype=np.uint8)
+        if len(arr) < 256:
+            arr = np.pad(arr, (0, 256 - len(arr)))
+        for r in sorted(rs, key=lambda x: x["window_idx"])[:4]:
+            w = arr[r["window_idx"] * 128:r["window_idx"] * 128 + 256]
+            w = w.astype(np.float64)
+            assert r["rms"] == pytest.approx(float(np.sqrt((w * w).mean())),
+                                             rel=1e-12)
+            assert r["peak"] == int(w.max())
+
+
 def test_feature_extraction_matches_numpy(media):
     feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
     rows = media.select("media_id", "media").collect()

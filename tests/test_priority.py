@@ -1,0 +1,105 @@
+"""URL prioritization / trust / admission operators (X10-X12, F6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops import priority as P
+
+
+@pytest.fixture(scope="module")
+def urls(spark):
+    rows = [
+        (0, "https://en.wikipedia.org/wiki/BM25", 0),
+        (1, "https://github.com/apache/spark", 1),
+        (2, "https://cs.stanford.edu/paper", 2),
+        (3, "https://www.nasa.gov/data", 0),
+        (4, "https://foo.example.net/admin/x", 0),
+        (5, "https://foo.example.net/blog/" + "a" * 220, 1),
+        (6, "https://bar.io/post/p?x=1&a=1&b=2&c=3&d=4&e=5&f=6", 2),
+        (7, "https://bar.io/s?jsessionid=abc", 5),
+        (8, "https://blog.medium.com/article/deep", 3),
+    ]
+    return spark.createDataFrame(rows, "id long, url string, depth int")
+
+
+def test_domain_trust(urls):
+    got = {
+        r["id"]: r["t"]
+        for r in urls.select("id", P.domain_trust_col("url").alias("t")).collect()
+    }
+    assert got[0] == 0.9          # wikipedia
+    assert got[1] == 0.85         # github
+    assert got[2] == 0.85         # .edu
+    assert got[3] == 0.80         # .gov
+    assert got[4] == 0.5          # default
+    assert got[8] == 0.75         # medium
+
+
+def test_priority_formula(urls):
+    rows = {
+        r["id"]: r
+        for r in urls.select(
+            "id",
+            P.priority_col("url", "depth").alias("p"),
+            P.is_high_priority("url", "depth").alias("high"),
+            P.should_skip("url", "depth").alias("skip"),
+        ).collect()
+    }
+    # wikipedia root at depth 0, content-free path: .9*.4 + 1*.3 + 1*.3
+    assert rows[0]["p"] == pytest.approx(0.96)
+    assert rows[0]["high"] and not rows[0]["skip"]
+    # /admin/ page: trust .5*.4 + 1*.3 + .5*.3
+    assert rows[4]["p"] == pytest.approx(0.2 + 0.3 + 0.15)
+    # very long URL penalty applied
+    assert rows[5]["p"] < rows[0]["p"]
+    # >5 query params (-0.2) + /post/ bonus (+0.2) at depth 2
+    assert rows[6]["p"] == pytest.approx(0.5 * 0.4 + 0.4 * 0.3 + 0.3 * 1.0)
+    # everything clamped to [0, 1]
+    for r in rows.values():
+        assert 0.0 <= r["p"] <= 1.0
+
+
+def test_link_priority(spark):
+    df = spark.createDataFrame(
+        [(0, True, "read more"), (3, False, None), (9, False, "")],
+        "depth int, main boolean, anchor string",
+    )
+    got = [
+        r["p"]
+        for r in df.select(
+            P.link_priority_col("depth", "main", "anchor").alias("p")
+        ).collect()
+    ]
+    assert got[0] == pytest.approx(1.0 - 0.0 + 0.5 + 0.2)
+    assert got[1] == pytest.approx(1.0 - 0.3)
+    assert got[2] == pytest.approx(0.1)  # floor
+
+
+def test_similarity_pct(spark):
+    """X4: similarity % = (1 - hamming/64) * 100
+    (SimHashService.java:89-92)."""
+    from search_engine_spark.ops.simhash import similarity_pct
+
+    df = spark.createDataFrame([(0,), (3,), (64,)], "h int")
+    got = [
+        r["s"] for r in df.select(similarity_pct(F.col("h")).alias("s")).collect()
+    ]
+    assert got == [100.0, pytest.approx((1 - 3 / 64) * 100), 0.0]
+
+
+def test_admission_glob_filter(spark):
+    df = spark.createDataFrame(
+        [("src/main/App.java",), ("src/test/AppTest.java",),
+         ("docs/readme.md",), ("build/out.class",)],
+        "path string",
+    )
+    adm = df.filter(
+        P.admission_col("path", include=["src/*", "docs/*"],
+                        exclude=["*test*", "*.class"])
+    )
+    assert [r["path"] for r in adm.collect()] == [
+        "src/main/App.java", "docs/readme.md"
+    ]
+    # empty include admits everything not excluded
+    adm2 = df.filter(P.admission_col("path", include=None, exclude=["build/*"]))
+    assert adm2.count() == 3
