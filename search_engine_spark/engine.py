@@ -275,6 +275,76 @@ class SearchEngine:
             .filter(F.col("rank") <= k)
         )
 
+    def search_batch_fields(
+        self, queries: dict[str, str], k: int = 10, expand: bool = False
+    ) -> DataFrame:
+        """Field-weighted search for MANY queries in one job — the
+        batch-throughput form of ``search_fields`` (same per-field
+        weights/statistics, (qid, slab) WAND groups, per-qid top-k)."""
+        from pyspark.sql import Window
+
+        from search_engine_spark.config import TITLE_PREFIX
+        from search_engine_spark.query.expansion import field_weights
+        from search_engine_spark.query.wand import (
+            BATCH_TOPK_SCHEMA,
+            make_batch_slab_scorer,
+        )
+
+        m = self.meta
+        if not m.get("index_title"):
+            raise ValueError(
+                "index was built with index_title=False; rebuild to use "
+                "field-weighted search"
+            )
+        av_c, av_t = float(m["avgdl"]), float(m["avgdl_title"])
+        bs_c = max(1.0, av_c / float(m["norm_avgdl"])) if av_c else 1.0
+        bs_t = max(1.0, av_t / float(m["norm_avgdl_title"])) if av_t else 1.0
+        rows = []
+        for qid, q in queries.items():
+            for t, w_c, w_t in field_weights(q, expand=expand):
+                rows.append((qid, t, float(w_c), av_c, bs_c))
+                rows.append((qid, TITLE_PREFIX + t, float(w_t), av_t, bs_t))
+        if not rows:
+            return self.spark.createDataFrame(
+                [], BATCH_TOPK_SCHEMA + ", rank int"
+            )
+        uniq_terms = list({r[1] for r in rows})
+        qt = self.spark.createDataFrame(
+            rows, "qid string, term string, w double, avgdl double, bscale double"
+        )
+        n = float(m["n_docs"])
+        qt = (
+            qt.join(
+                self.df_table.filter(F.col("term").isin(uniq_terms)), "term"
+            )
+            .withColumn(
+                "idf",
+                F.col("w")
+                * F.log1p((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+            )
+            .select("qid", "term", "idf", "avgdl", "bscale")
+        )
+        seg = self._pruned_segments(uniq_terms).select(
+            "slab", "term", "postings", "skips", "block_max"
+        )
+        joined = seg.join(F.broadcast(qt), "term")
+        scorer = make_batch_slab_scorer(
+            int(m["slab_size"]),
+            int(m["block_size"]),
+            k,
+            float(m["k1"]),
+            float(m["b"]),
+            av_c,
+        )
+        per = joined.groupBy("qid", "slab").applyInPandas(
+            scorer, schema=BATCH_TOPK_SCHEMA
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            per.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
     def search_local(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Serving-path top-k: NO Spark job — pyarrow pruned read of
         the term/bucket segment files + the same numpy block-max WAND

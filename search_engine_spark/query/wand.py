@@ -145,8 +145,14 @@ def make_batch_slab_scorer(
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         slab = int(pdf["slab"].iloc[0])
         qid = pdf["qid"].iloc[0]
+        per_field = "avgdl" in pdf.columns
         chunks = [
-            (TermChunk(r.postings, r.skips, r.block_max), float(r.idf))
+            (
+                TermChunk(r.postings, r.skips, r.block_max),
+                float(r.idf),
+                float(r.avgdl) if per_field else avgdl,
+                float(r.bscale) if per_field else bound_scale,
+            )
             for r in pdf.itertuples()
         ]
         ids, sc = slab_topk(

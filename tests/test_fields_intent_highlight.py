@@ -63,6 +63,22 @@ def test_search_fields_expanded_matches_oracle(engine, oracle):
             assert gs == pytest.approx(ws, rel=1e-9), q
 
 
+def test_search_batch_fields_matches_single(engine, oracle):
+    """Batch field-weighted search == per-query search_fields, for
+    every query in one job."""
+    qs = {f"q{i}": q for i, q in enumerate(FIELD_QUERIES)}
+    out = engine.search_batch_fields(qs, 10).collect()
+    by_qid = {}
+    for r in out:
+        by_qid.setdefault(r["qid"], []).append(r)
+    for qid, q in qs.items():
+        got = sorted(by_qid.get(qid, []), key=lambda r: r["rank"])
+        want = oracle.search_fields(field_weights(q), 10)
+        assert [r["docid"] for r in got] == [d for d, _ in want], q
+        for r, (_, ws) in zip(got, want):
+            assert r["score"] == pytest.approx(ws, rel=1e-9)
+
+
 def test_title_boost_changes_ranking(engine, oracle):
     """A term that appears in some path basenames must rank
     title-hits above content-only hits more aggressively than the
