@@ -134,11 +134,24 @@ def make_segment_splicer():
     from search_engine_spark.indexer.codec import splice_merge
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = [f.split()[0] for f in SEGMENT_SCHEMA.split(", ")]
         slab = int(pdf["slab"].iloc[0])
         bucket = int(pdf["bucket"].iloc[0])
+        # Fast path: a term present in only ONE generation needs no
+        # merge at all — its bytes pass through verbatim.  After one
+        # append most of the vocabulary (the df-1 tail) is single-gen,
+        # so this pandas-vectorized split is what makes splice cheap.
+        sizes = pdf.groupby("term")["term"].transform("size")
+        singles = pdf[sizes == 1]
+        out_single = singles[cols].copy()
+        out_single["gen"] = 0
+        multis = pdf[sizes > 1]
+        if len(multis) == 0:
+            return out_single
         recs = []
-        for term, grp in pdf.groupby("term", sort=True):
-            grp = grp.sort_values("gen", kind="mergesort")
+        for term, grp in multis.sort_values(
+            ["term", "gen"], kind="mergesort"
+        ).groupby("term", sort=False):
             p, s, bm = splice_merge(
                 [
                     (r.postings, r.skips, r.block_max)
@@ -153,8 +166,10 @@ def make_segment_splicer():
                     p, s, bm,
                 )
             )
-        cols = [f.split()[0] for f in SEGMENT_SCHEMA.split(", ")]
-        return pd.DataFrame(recs, columns=cols)
+        return pd.concat(
+            [out_single, pd.DataFrame(recs, columns=cols)],
+            ignore_index=True,
+        )
 
     return merge
 
