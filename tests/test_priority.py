@@ -75,6 +75,53 @@ def test_link_priority(spark):
     assert got[2] == pytest.approx(0.1)  # floor
 
 
+def test_simhash_plan_no_python_no_blowup(spark):
+    """Scale regression guard for the reworked simhash fingerprints:
+    the plan must contain NO Python evaluation (pure JVM column math)
+    and NO per-bit row explosion (the old path joined every posting
+    against 64 bit-rows; the new one hashes each distinct term once
+    and folds 64 aggregate columns)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from search_engine_spark.ops.simhash import simhash_fingerprints
+
+    postings = spark.createDataFrame(
+        [("alpha", 0, 2), ("beta", 0, 1), ("alpha", 1, 1)],
+        "term string, docid long, tf int",
+    )
+    fp = simhash_fingerprints(postings)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        fp.explain(mode="formatted")
+    plan = buf.getvalue()
+    for op in ("BatchEvalPython", "ArrowEvalPython",
+               "FlatMapGroupsInPandas", "MapInPandas"):
+        assert op not in plan, op        # pure JVM column math
+    assert "CartesianProduct" not in plan
+    assert "Generate" not in plan        # no explode of a 64-row table
+    # and the semantics still match the reference bit layout
+    import hashlib
+
+    rows = {r["docid"]: r["simhash"] for r in fp.collect()}
+
+    def py_fp(term_tfs):
+        sums = [0] * 64
+        for term, tf in term_tfs:
+            h = int(hashlib.md5(term.encode()).hexdigest()[:16], 16)
+            for j in range(64):
+                bit = (h >> (63 - j)) & 1
+                sums[j] += tf * (2 * bit - 1)
+        v = 0
+        for j in range(64):
+            if sums[j] > 0:
+                v |= 1 << (63 - j)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    assert rows[0] == py_fp([("alpha", 2), ("beta", 1)])
+    assert rows[1] == py_fp([("alpha", 1)])
+
+
 def test_similarity_pct(spark):
     """X4: similarity % = (1 - hamming/64) * 100
     (SimHashService.java:89-92)."""
