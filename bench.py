@@ -127,6 +127,11 @@ def main() -> None:
     t0 = time.time()
     eng.search_fields("database index merge", 10).collect()
     queries["fields_q"] = round(time.time() - t0, 3)
+    eng.search_local_fields("java", 10)  # warm
+    t0 = time.time()
+    for q in REFERENCE_QUERIES.values():
+        eng.search_local_fields(q, 10)
+    queries["serving_fields_12q"] = round(time.time() - t0, 3)
 
     # --- 3. batch throughput ---
     batch = {}

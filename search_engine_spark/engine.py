@@ -427,6 +427,99 @@ class SearchEngine:
         results.sort(key=lambda x: (-x[1], x[0]))
         return results[:k]
 
+    def search_local_fields(
+        self, query: str, k: int = 10, expand: bool = False
+    ) -> list[tuple[int, float]]:
+        """Serving-path field-weighted top-k: NO Spark job — the same
+        pruned pyarrow read + numpy WAND as ``search_local``, with
+        per-chunk field statistics (title chunks score with the title
+        field's idf/avgdl/bounds at their boosts).  Rank-identical to
+        ``search_fields`` — same kernel, same tie-break."""
+        import math as _math
+
+        import pyarrow.dataset as ds
+
+        from search_engine_spark.config import TITLE_PREFIX
+        from search_engine_spark.indexer.codec import TermChunk
+        from search_engine_spark.indexer.segments import term_bucket_py
+        from search_engine_spark.query.expansion import field_weights
+        from search_engine_spark.query.wand import slab_topk
+
+        m = self.meta
+        if not m.get("index_title"):
+            raise ValueError(
+                "index was built with index_title=False; rebuild to use "
+                "field-weighted search"
+            )
+        if self.store.kind != "parquet":
+            raise NotImplementedError(
+                "the no-Spark serving path reads parquet segment files "
+                "directly; with a catalog store, serve via search_fields()"
+            )
+        fw = field_weights(query, expand=expand)
+        if not fw:
+            return []
+        av_c, av_t = float(m["avgdl"]), float(m["avgdl_title"])
+        bs_c = max(1.0, av_c / float(m["norm_avgdl"])) if av_c else 1.0
+        bs_t = max(1.0, av_t / float(m["norm_avgdl_title"])) if av_t else 1.0
+        # per namespaced term: (boost, field avgdl, field bound scale)
+        info: dict[str, tuple[float, float, float]] = {}
+        for t, w_c, w_t in fw:
+            info[t] = (float(w_c), av_c, bs_c)
+            info[TITLE_PREFIX + t] = (float(w_t), av_t, bs_t)
+        terms = list(info)
+        if self._local_ds is None:
+            self._local_ds = ds.dataset(
+                f"{self.index_dir}/segments", partitioning="hive"
+            )
+        buckets = sorted(
+            {term_bucket_py(t, int(m["term_buckets"])) for t in terms}
+        )
+        tab = self._local_ds.to_table(
+            filter=(
+                ds.field("term").isin(terms)
+                & ds.field("bucket").isin(buckets)
+            ),
+            columns=["slab", "term", "postings", "skips", "block_max"],
+        )
+        if tab.num_rows == 0:
+            return []
+        n, df_map = float(m["n_docs"]), self._local_df(terms)
+        widf = {
+            t: info[t][0]
+            * _math.log(1.0 + (n - df_map[t] + 0.5) / (df_map[t] + 0.5))
+            for t in terms
+            if t in df_map
+        }
+        by_slab: dict[int, list] = {}
+        for r in tab.to_pylist():
+            if r["term"] in widf:
+                by_slab.setdefault(int(r["slab"]), []).append(r)
+        results: list[tuple[int, float]] = []
+        for slab, rs in by_slab.items():
+            chunks = [
+                (
+                    TermChunk(r["postings"], r["skips"], r["block_max"]),
+                    widf[r["term"]],
+                    info[r["term"]][1],
+                    info[r["term"]][2],
+                )
+                for r in rs
+            ]
+            ids, sc = slab_topk(
+                chunks,
+                slab * int(m["slab_size"]),
+                int(m["slab_size"]),
+                int(m["block_size"]),
+                k,
+                float(m["k1"]),
+                float(m["b"]),
+                av_c,
+            )
+            results.extend(zip(ids.tolist(), sc.tolist()))
+        results.sort(key=lambda x: (-x[1], x[0]))
+        return results[:k]
+
     def _local_df(self, terms: list[str]) -> dict[str, int]:
         """Per-term global df for the serving path (cached)."""
         missing = [t for t in terms if t not in self._df_cache]

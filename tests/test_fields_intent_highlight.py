@@ -79,6 +79,21 @@ def test_search_batch_fields_matches_single(engine, oracle):
             assert r["score"] == pytest.approx(ws, rel=1e-9)
 
 
+def test_search_local_fields_matches_spark(engine, oracle):
+    """The no-Spark field-weighted serving path is rank- and
+    score-identical to the Spark path and the brute oracle."""
+    for q in FIELD_QUERIES:
+        got = engine.search_local_fields(q, 10)
+        want = oracle.search_fields(field_weights(q), 10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9), q
+    # expanded form too
+    got = engine.search_local_fields("java parser", 10, expand=True)
+    want = oracle.search_fields(field_weights("java parser", expand=True), 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
 def test_title_boost_changes_ranking(engine, oracle):
     """A term that appears in some path basenames must rank
     title-hits above content-only hits more aggressively than the
