@@ -7,11 +7,16 @@ but merge compacts them back to one chunk per (term, slab) — the
 log-structured merge of the north rule, playing the role of Lucene's
 background segment merging.
 
-Merge = decode all generations' chunks per (slab, bucket) group,
-concatenate, re-sort, re-encode with the same vectorized codec.
-Decode+re-encode is numpy-bound; at 100 TB a byte-splicing merge that
-avoids re-encoding interior blocks is the known optimization — the
-group boundary and output contract would not change.
+Two merge strategies, same group boundary and output contract:
+
+- ``merge_segments`` (re-encode): decode all generations' chunks per
+  (slab, bucket) group, concatenate, re-sort, re-encode with the
+  vectorized codec — refreshes block-max bounds to the current avgdl.
+- ``splice_segments`` (byte-splicing, codec.splice_merge): posting
+  bytes concatenate verbatim, at most one varint re-encoded per
+  generation boundary, single-generation terms pass through without
+  parsing — measured 3.1-3.2x faster (BENCH/BASELINE.md); bounds
+  keep their per-generation avgdl basis, exact via bound_scale.
 """
 
 from __future__ import annotations
