@@ -650,6 +650,48 @@ class SearchEngine:
             k=k,
         )
 
+    def did_you_mean(
+        self, query: str, dict_terms: int = 50_000
+    ) -> str | None:
+        """"Did you mean?" suggestions (QueryExpansionService.java:
+        85-103 + the doc-specified levenshtein fallback): the fixed
+        misspelling maps apply first; any remaining term absent from
+        the index is matched levenshtein<=2 against the top-df
+        ``dict_terms`` dictionary slice (length-band prefiltered).
+        Returns the corrected query, or None if nothing changed."""
+        from search_engine_spark.config import TITLE_PREFIX
+        from search_engine_spark.query.expansion import (
+            EXTRA_MISSPELLINGS,
+            MISSPELLINGS,
+            suggest_spelling,
+        )
+
+        terms = tokenize_query(query)
+        if not terms:
+            return None
+        merged_map = {**EXTRA_MISSPELLINGS, **MISSPELLINGS}
+        mapped = [merged_map.get(t, t) for t in terms]
+        known = {
+            r["term"]
+            for r in self.df_table.filter(
+                F.col("term").isin(mapped)
+            ).select("term").collect()
+        }
+        unknown = [t for t in mapped if t not in known]
+        out = list(mapped)
+        if unknown:
+            dictionary = {
+                r["term"]
+                for r in self.df_table.orderBy(F.desc("df"))
+                .limit(dict_terms)
+                .select("term")
+                .collect()
+                if not r["term"].startswith(TITLE_PREFIX)
+            }
+            sug = suggest_spelling(unknown, dictionary)
+            out = [sug.get(t, t) for t in out]
+        return " ".join(out) if out != terms else None
+
     def search_with_meta(
         self, query: str, k: int = 10, highlight: bool = False
     ) -> DataFrame:

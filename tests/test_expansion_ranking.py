@@ -87,6 +87,19 @@ def test_suggest_spelling():
     assert "zzz" not in out
 
 
+def test_did_you_mean(engine):
+    """X5 end-to-end: map corrections + levenshtein fallback against
+    the live index dictionary."""
+    # fixed-map correction (reference map: pyton -> python)
+    assert engine.did_you_mean("pyton merge") == "python merge"
+    # levenshtein fallback: 'mergee' is not an index term; 'merge' is
+    got = engine.did_you_mean("mergee index")
+    assert got == "merge index"
+    # nothing to fix
+    assert engine.did_you_mean("merge index") is None
+    assert engine.did_you_mean("") is None
+
+
 def test_pagination_and_count(engine, oracle):
     full = [(r["docid"], r["score"]) for r in engine.search("java search", 20).collect()]
     p0 = [(r["docid"], r["score"]) for r in engine.search_page("java search", 0, 5).collect()]

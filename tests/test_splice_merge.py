@@ -69,6 +69,51 @@ def test_splice_single_and_disjoint_blocks():
         assert np.array_equal(a, b)
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def test_splice_property_random_splits(data):
+        """Property: for ANY docid set, tf/dl values and ANY split of
+        the postings into 1-4 ascending generations, byte-splicing the
+        per-generation chunks decodes identically to encoding the
+        whole list at once."""
+        n = data.draw(st.integers(min_value=1, max_value=300))
+        universe = data.draw(st.integers(min_value=n, max_value=5000))
+        rng = np.random.RandomState(data.draw(st.integers(0, 2**31 - 1)))
+        docids = np.sort(rng.choice(universe, size=n, replace=False))
+        tf = rng.randint(1, 50, size=n)
+        dl = rng.randint(1, 500, size=n)
+        n_gens = data.draw(st.integers(min_value=1, max_value=4))
+        cuts = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=1, max_value=max(1, n - 1)),
+                    min_size=n_gens - 1,
+                    max_size=n_gens - 1,
+                )
+            )
+        )
+        bounds = [0] + cuts + [n]
+        parts = [
+            np.arange(bounds[i], bounds[i + 1])
+            for i in range(len(bounds) - 1)
+            if bounds[i] < bounds[i + 1]
+        ]
+        full = TermChunk(*_enc(docids, tf, dl, np.arange(n)))
+        spliced = TermChunk(
+            *splice_merge([_enc(docids, tf, dl, p) for p in parts])
+        )
+        for a, b in zip(full.decode_all(BS), spliced.decode_all(BS)):
+            assert np.array_equal(a, b)
+        assert np.array_equal(full.block_ids, spliced.block_ids)
+        assert np.allclose(full.block_max, spliced.block_max)
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_splice_compaction_engine_exact(spark, tmp_path):
     """append -> compact(mode=splice): one chunk per (term, slab),
     results still rank-identical to the brute-force oracle."""
