@@ -69,6 +69,21 @@ HIGHLIGHT_QUERIES = {
     "highlight_q1": "data table merge",
 }
 
+# The COMPLETE composed query (AdvancedSearchService): BEST_FIELDS
+# originals (title^3/content^1) + per-synonym clauses (2.0/0.8) +
+# TUTORIAL-intent clause + entity clauses + function_score MULTIPLY
+# log1p(2*pagerank).  q1 fires TUTORIAL intent ("how to") and the
+# "search"->"query" synonym (query IS a corpus term); q2 fires the
+# "python" entity clause and TUTORIAL via "guide" (both plan-only on
+# this 29-word corpus — their terms have df 0 — while join/hash score;
+# entity/intent clauses firing with real matches is pinned in pytest
+# on the code corpus); q3 is the bare BEST_FIELDS + pagerank path.
+FULL_QUERIES = {
+    "bm25_full_q1": "how to search data",
+    "bm25_full_q2": "python join hash guide",
+    "bm25_full_q3": "table scan merge",
+}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
@@ -96,6 +111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[name] = partial(C.q_bm25_fields, query=text, k=10, expand=exp)
     for name, text in HIGHLIGHT_QUERIES.items():
         q[name] = partial(C.q_highlight, query=text, limit=100)
+    for name, text in FULL_QUERIES.items():
+        q[name] = partial(C.q_bm25_full, query=text, k=10)
     q.update(
         {
             "simhash_fp": CO.q_simhash_fp,
@@ -113,6 +130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "diversify_by_source": CO.q_diversify_by_source,
             "spell_suggest": CO.q_spell_suggest,
             "url_priority": CO.q_url_priority,
+            "url_priority_strategies": CO.q_url_priority_strategies,
+            "opic_cash": CO.q_opic_cash,
             "status_rollup": CO.q_status_rollup,
             "top_customers": CO.q_top_customers,
             "freshness_decay": CO.q_freshness_decay,
@@ -144,6 +163,8 @@ def oracle_sql() -> dict[str, str]:
         o[name] = O.bm25_fields_sql(text, 10, expand=exp)
     for name, text in HIGHLIGHT_QUERIES.items():
         o[name] = O.highlight_sql(text, 100)
+    for name, text in FULL_QUERIES.items():
+        o[name] = O.bm25_full_sql(text, 10)
     o.update(
         {
             "simhash_fp": OO.simhash_fp_sql(),
@@ -161,6 +182,8 @@ def oracle_sql() -> dict[str, str]:
             "diversify_by_source": OO.diversify_by_source_sql(),
             "spell_suggest": OO.spell_suggest_sql(),
             "url_priority": OO.url_priority_sql(),
+            "url_priority_strategies": OO.url_priority_strategies_sql(),
+            "opic_cash": OO.opic_cash_sql(),
             "status_rollup": OO.status_rollup_sql(),
             "top_customers": OO.top_customers_sql(),
             "freshness_decay": OO.freshness_decay_sql(),

@@ -58,6 +58,8 @@ def main() -> None:
     cpus = min(requested_cpus, max_local)
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "40000"))
 
+    from pyspark.sql import functions as F
+
     from search_engine_spark.config import EngineConfig
     from search_engine_spark.corpus import corpus_df
     from search_engine_spark.engine import SearchEngine
@@ -117,8 +119,14 @@ def main() -> None:
         for q in REFERENCE_QUERIES.values():
             eng.search_local(q, 10)
         pass_secs.append(time.time() - t0)
-    serve_sec = min(pass_secs) * reps
-    queries["serving_36q"] = round(serve_sec, 3)
+    # serving_36q = the MEASURED 3-pass wall time (round-1 meaning,
+    # comparable across rounds).  The throttling-robust best-case view
+    # lives in extras: per-pass raw times + min-based ms/query, so a
+    # stolen host window is self-evident from the pass spread instead
+    # of silently inflating the one headline number.
+    queries["serving_36q"] = round(sum(pass_secs), 3)
+    extras["serving_passes"] = [round(p, 3) for p in pass_secs]
+    extras["serving_36q_minpass"] = round(min(pass_secs) * reps, 3)
     extras["serving_ms_per_query"] = round(
         min(pass_secs) / len(REFERENCE_QUERIES) * 1000, 2
     )
@@ -133,6 +141,16 @@ def main() -> None:
         eng.search_local_fields(q, 10)
     queries["serving_fields_12q"] = round(time.time() - t0, 3)
 
+    # --- 2d. the composed intended query (BEST_FIELDS + synonyms +
+    # intent + entity + function_score pagerank multiply in-kernel) ---
+    pr = eng.docmap.select(
+        F.col("docid").alias("node"),
+        (F.col("docid") % 97 / 96.0).alias("pagerank"),
+    )
+    t0 = time.time()
+    eng.search_advanced("how to search database index", 10, pagerank=pr).collect()
+    queries["advanced_q"] = round(time.time() - t0, 3)
+
     # --- 3. batch throughput ---
     batch = {}
     for rep in range(4):
@@ -143,6 +161,11 @@ def main() -> None:
     batch_sec = time.time() - t0
     queries["batch_48q"] = round(batch_sec, 3)
     extras["batch_qps"] = round(len(batch) / batch_sec, 1)
+
+    # --- 3b. conjunctive batch (bool.must paraphrases) ---
+    t0 = time.time()
+    eng.search_batch(dict(REFERENCE_QUERIES), 10, mode="and").count()
+    queries["batch_and_12q"] = round(time.time() - t0, 3)
 
     # --- 4. sf-dir contract queries ---
     import __spark_entry__ as E

@@ -43,7 +43,7 @@ class ParquetStore:
     def path(self, table: str) -> str:
         return f"{self.root}/{table}"
 
-    def exists(self, table: str) -> bool:
+    def exists(self, table: str, spark: SparkSession | None = None) -> bool:
         return os.path.exists(os.path.join(self.path(table), "_SUCCESS"))
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
@@ -71,7 +71,7 @@ class ParquetStore:
     def refresh(self, spark: SparkSession, table: str) -> None:
         spark.catalog.refreshByPath(self.path(table))
 
-    def drop(self, table: str) -> None:
+    def drop(self, table: str, spark: SparkSession | None = None) -> None:
         import shutil
 
         p = self.path(table)
@@ -109,9 +109,21 @@ class IcebergStore:
     def ident(self, table: str) -> str:
         return f"{self.prefix}_{table}"
 
-    def exists(self, table: str) -> bool:
-        # catalog-backed: existence is a catalog lookup at read time
-        return True
+    def exists(self, table: str, spark: SparkSession | None = None) -> bool:
+        """Real catalog lookup (spark.catalog.tableExists) — so
+        ``build_index(resume=True)`` on a catalog index whose tables
+        are absent falls back to a fresh build, same as the parquet
+        backend's _SUCCESS probe."""
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "IcebergStore.exists() needs a SparkSession (pass one "
+                "or call with an active session)"
+            )
+        try:
+            return spark.catalog.tableExists(self.ident(table))
+        except Exception:
+            return False
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.table(self.ident(table))
@@ -142,10 +154,14 @@ class IcebergStore:
     def refresh(self, spark: SparkSession, table: str) -> None:
         spark.catalog.refreshTable(self.ident(table))
 
-    def drop(self, table: str) -> None:
-        raise NotImplementedError(
-            "use spark.sql(f'DROP TABLE {ident}') with an active catalog"
-        )
+    def drop(self, table: str, spark: SparkSession | None = None) -> None:
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "IcebergStore.drop() needs a SparkSession (pass one "
+                "or call with an active session)"
+            )
+        spark.sql(f"DROP TABLE IF EXISTS {self.ident(table)}")
 
     def get_meta(self, spark: SparkSession) -> dict | None:
         try:

@@ -53,6 +53,11 @@ CONTENT_SYNONYM_BOOST = 0.8
 # rule asks for (salt == docid-range slab; cf. SURVEY.md §4 "salt hot
 # terms" and §7 step 3).
 DEFAULT_SLAB_SIZE = 1 << 18  # 262144 docs per slab (tunable per build)
+
+# compact="auto" policy (indexer/build.py): splice-merge while
+# avgdl / norm_avgdl stays within this factor; re-encode past it to
+# re-tighten block-max WAND bounds.
+AUTO_REENCODE_DRIFT = 1.25
 DEFAULT_TERM_BUCKETS = 32    # hash buckets inside a slab for build parallelism
 BLOCK_SIZE = 128             # docs per block for block-max skip metadata
 

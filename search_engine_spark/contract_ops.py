@@ -154,6 +154,81 @@ def q_url_priority(spark, sf_dir) -> DataFrame:
     )
 
 
+# --- X13 prioritization strategies (BFS / Best-First / OPIC / Focused) -----
+
+# Deterministic pagerank / domain-authority fixtures with NULL rows to
+# exercise the strategies' default branches (pageRank null -> 0.5 in
+# Best-First, -> flat 25 boost in Focused; authority null -> 0.5).
+# Dialect-neutral expression strings, shared with the DuckDB twin.
+PR_FIX_EXPR = (
+    "(CASE WHEN CAST(doc_id % 5 AS INT) = 0 THEN NULL "
+    "ELSE CAST(doc_id % 97 AS DOUBLE) / 96.0 END)"
+)
+AUTH_FIX_EXPR = (
+    "(CASE WHEN CAST(doc_id % 3 AS INT) = 0 THEN NULL "
+    "ELSE CAST(doc_id % 11 AS DOUBLE) / 10.0 END)"
+)
+# FocusedCrawlingConfig fixture (the doc's builder example, adapted to
+# the URL fixture's hosts/paths; threshold 0.2 so single-keyword URLs
+# pass and keywordless ones are cut).
+FOCUSED_ALLOWED = ["github.com", "wikipedia.org", "example.net"]
+FOCUSED_KEYWORDS = ["blog", "post", "article", "page"]
+FOCUSED_THRESHOLD = 0.2
+
+
+def q_url_priority_strategies(spark, sf_dir) -> DataFrame:
+    """X13: the strategy-pattern priorities (BFS, Best-First, Focused)
+    over the URL fixture; OPIC is graph-stateful and lives in
+    q_opic_cash.  DuckDB twin: sqlgen_ops.url_priority_strategies_sql."""
+    from search_engine_spark.ops import priority as P
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .withColumn("url", F.expr(URL_EXPR))
+        .withColumn("host", F.expr(HOST_EXPR))
+        .withColumn("depth", F.expr(DEPTH_EXPR))
+        .withColumn("pr", F.expr(PR_FIX_EXPR))
+        .withColumn("auth", F.expr(AUTH_FIX_EXPR))
+    )
+    return (
+        d.select(
+            F.col("doc_id").cast("long").alias("docid"),
+            F.round(P.bfs_priority_col("depth"), 5).alias("bfs"),
+            F.round(
+                P.best_first_priority_col("pr", "auth", "depth"), 5
+            ).alias("best_first"),
+            F.round(
+                P.focused_priority_col(
+                    "url", "host", "pr",
+                    FOCUSED_ALLOWED, FOCUSED_KEYWORDS, FOCUSED_THRESHOLD,
+                ),
+                5,
+            ).alias("focused"),
+        )
+        .orderBy("docid")
+    )
+
+
+def q_opic_cash(spark, sf_dir) -> DataFrame:
+    """X13 OPIC: one cash-distribution round over the same supplier->
+    customer edge graph as q_pagerank."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").cast("long").alias("src"),
+            (F.col("o_custkey") + 100000).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    return (
+        graph.opic_round(edges)
+        .select("node", F.round("cash", 8).alias("cash"))
+        .orderBy("node")
+    )
+
+
 # --- Graph -----------------------------------------------------------------
 
 def q_pagerank(spark, sf_dir) -> DataFrame:

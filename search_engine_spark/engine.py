@@ -10,6 +10,8 @@ for metadata/snippets.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -49,6 +51,12 @@ class SearchEngine:
             self.df_table = self.df_table.cache()
         self._local_ds = None
         self._df_cache: dict[str, int] = {}
+        self._dym_dict: set[str] | None = None
+        self._term_slab_cache: dict[str, frozenset] | None = (
+            {} if self.store.kind == "parquet"
+            and os.path.exists(f"{self.index_dir}/term_slabs/_SUCCESS")
+            else None
+        )
         return self
 
     # -- construction ----------------------------------------------------
@@ -77,9 +85,42 @@ class SearchEngine:
         buckets = sorted(
             {term_bucket_py(t, int(self.meta["term_buckets"])) for t in terms}
         )
-        return self.segments.filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
-        )
+        pred = F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        slabs = self._slabs_for(terms)
+        if slabs is not None:
+            # partition pruning: segments/ is partitioned by slab, so
+            # slabs no query term occurs in are never even listed
+            pred = pred & F.col("slab").isin(sorted(slabs))
+        return self.segments.filter(pred)
+
+    def _slabs_for(self, terms: list[str]):
+        """Union of slabs the query terms occur in, from the tiny
+        (term, slab) inventory written at build time — read driver-
+        side via pyarrow (no Spark job) and cached per engine
+        generation.  Returns None (no pruning) when the inventory is
+        absent (pre-term_slabs index) or the store is catalog-backed."""
+        cache = self._term_slab_cache
+        if cache is None:
+            return None
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            import pyarrow.dataset as ds
+
+            tab = ds.dataset(f"{self.index_dir}/term_slabs").to_table(
+                filter=ds.field("term").isin(missing),
+                columns=["term", "slab"],
+            )
+            got: dict[str, set] = {}
+            for t, s in zip(
+                tab.column("term").to_pylist(), tab.column("slab").to_pylist()
+            ):
+                got.setdefault(t, set()).add(int(s))
+            for t in missing:
+                cache[t] = frozenset(got.get(t, ()))
+        out: set[int] = set()
+        for t in terms:
+            out |= cache[t]
+        return out
 
     def _idf_rows(self, terms: list[str]):
         n = float(self.meta["n_docs"])
@@ -158,13 +199,20 @@ class SearchEngine:
         return per_slab.orderBy(F.desc("score"), F.asc("docid")).limit(k)
 
     def search_fields(
-        self, query: str, k: int = 10, expand: bool = False
+        self, query: str, k: int = 10, expand: bool = False,
+        intent: bool = False,
     ) -> DataFrame:
-        """Field-weighted top-k — the reference's intended query
-        (docs/features/query-expansion-nlp.md:260-275): corrected
-        original terms at title^3.0 / content^1.0, synonyms (when
-        ``expand``) at title^2.0 / content^0.8, summed across should
-        clauses.  Per-field BM25 statistics: each field's chunks carry
+        """Field-weighted top-k with BM25F-style cross-field SUM.
+
+        DELIBERATE divergence from the reference's multi_match
+        BEST_FIELDS (docs/features/query-expansion-nlp.md:260-275),
+        which takes the MAX over fields per clause: this method sums
+        title and content contributions (BM25F-shaped — a doc matching
+        in both fields ranks higher).  The faithful BEST_FIELDS
+        dis_max semantics live in ``search_advanced``; boosts
+        (title^3.0/content^1.0, synonyms title^2.0/content^0.8 when
+        ``expand``) are the reference's in both.
+        Per-field BM25 statistics: each field's chunks carry
         their own df, avgdl and block-max bounds (encoded with that
         field's avgdl at build time), so WAND pruning stays exact:
         UB(block) = sum over (term, field) of boost * idf * block_max.
@@ -188,6 +236,17 @@ class SearchEngine:
         for t, w_c, w_t in fw:
             rows.append((t, float(w_c), av_c, bs_c))
             rows.append((TITLE_PREFIX + t, float(w_t), av_t, bs_t))
+        if intent:
+            # TUTORIAL should-terms as content-only clauses (weight
+            # 1.0), matching search(intent=True)'s semantics per field
+            from search_engine_spark.query.intent import (
+                intent_extra_weights,
+            )
+
+            have = {t for t, _wc, _wt in fw}
+            for t, w in intent_extra_weights(query).items():
+                if t not in have:
+                    rows.append((t, float(w), av_c, bs_c))
         terms = [r[0] for r in rows]
         wdf = self.spark.createDataFrame(
             rows, "term string, w double, avgdl double, bscale double"
@@ -218,12 +277,178 @@ class SearchEngine:
         per = joined.groupBy("slab").applyInPandas(scorer, schema=TOPK_SCHEMA)
         return per.orderBy(F.desc("score"), F.asc("docid")).limit(k)
 
-    def search_batch(self, queries: dict[str, str], k: int = 10) -> DataFrame:
+    def search_advanced(
+        self,
+        query: str,
+        k: int = 10,
+        pagerank: DataFrame | None = None,
+        missing: float = 0.0,
+        mode: str = "or",
+    ) -> DataFrame:
+        """The reference's COMPLETE composed query in one call
+        (AdvancedSearchService, docs/features/query-expansion-nlp.md:
+        246-300): corrected original terms as ONE BEST_FIELDS clause
+        (title^3/content^1, dis_max over fields), per-synonym clauses
+        (title^2/content^0.8, dis_max over fields), the TUTORIAL-intent
+        content clause, entity content clauses — summed across clauses
+        — then function_score MULTIPLY by log1p(2 * pagerank) applied
+        INSIDE the per-slab WAND stage over ALL candidates (per-block
+        boost maxima keep pruning exact; multiply is monotone).
+
+        ``pagerank``: (node|docid, pagerank) DataFrame; docs absent
+        boost at log1p(2 * missing).  ``pagerank=None`` skips the
+        function_score stage entirely (pure bool score).
+
+        ``mode="and"`` requires every corrected ORIGINAL term (in
+        either field); synonym/intent/entity clauses stay optional —
+        unlike ``search(mode="and", expand=True)``, expansion terms
+        are never required here.
+        """
+        from search_engine_spark.config import TITLE_PREFIX
+        from search_engine_spark.query.advanced import (
+            FLD_CONTENT,
+            PAGERANK_FACTOR,
+            advanced_plan,
+            plan_orig_terms,
+        )
+        from search_engine_spark.query.wand import (
+            make_adv_slab_scorer,
+            make_adv_slab_scorer_plain,
+        )
+
+        m = self.meta
+        if not m.get("index_title"):
+            raise ValueError(
+                "index was built with index_title=False; rebuild to use "
+                "the composed query"
+            )
+        plan = advanced_plan(query)
+        if not plan:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        av_c, av_t = float(m["avgdl"]), float(m["avgdl_title"])
+        bs_c = max(1.0, av_c / float(m["norm_avgdl"])) if av_c else 1.0
+        bs_t = max(1.0, av_t / float(m["norm_avgdl_title"])) if av_t else 1.0
+        orig = plan_orig_terms(query)
+        req_of = {t: i for i, t in enumerate(orig)}
+        rows = []
+        for clause, fld, t, w in plan:
+            req = req_of.get(t, -1) if clause == 0 else -1
+            if fld == FLD_CONTENT:
+                rows.append((t, float(w), av_c, bs_c, clause, 0, req))
+            else:
+                rows.append(
+                    (TITLE_PREFIX + t, float(w), av_t, bs_t, clause, 1, req)
+                )
+        terms = list({r[0] for r in rows})
+        wdf = self.spark.createDataFrame(
+            rows,
+            "term string, w double, avgdl double, bscale double, "
+            "clause int, fld int, req int",
+        )
+        n = float(m["n_docs"])
+        idfs = (
+            self.df_table.filter(F.col("term").isin(terms))
+            .join(F.broadcast(wdf), "term")
+            .withColumn(
+                "idf",
+                F.col("w")
+                * F.log1p((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+            )
+            .select("term", "idf", "avgdl", "bscale", "clause", "fld", "req")
+        )
+        seg = self._pruned_segments(terms).select(
+            "slab", "term", "postings", "skips", "block_max"
+        )
+        joined = seg.join(F.broadcast(idfs), "term")
+        n_required = len(orig) if mode == "and" else 0
+        if pagerank is None:
+            scorer = make_adv_slab_scorer_plain(
+                int(m["slab_size"]), int(m["block_size"]), k,
+                float(m["k1"]), float(m["b"]), n_required=n_required,
+            )
+            per = joined.groupBy("slab").applyInPandas(
+                scorer, schema=TOPK_SCHEMA
+            )
+        else:
+            slab_size = int(m["slab_size"])
+            pr = pagerank.select(
+                F.col(pagerank.columns[0]).cast("long").alias("docid"),
+                F.col(pagerank.columns[1]).cast("double").alias("pr"),
+            ).withColumn("slab", (F.col("docid") / slab_size).cast("int"))
+            scorer = make_adv_slab_scorer(
+                slab_size, int(m["block_size"]), k,
+                float(m["k1"]), float(m["b"]), PAGERANK_FACTOR,
+                missing=missing, n_required=n_required,
+            )
+            per = (
+                joined.groupBy("slab")
+                .cogroup(pr.groupBy("slab"))
+                .applyInPandas(scorer, schema=TOPK_SCHEMA)
+            )
+        return per.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+    def search_advanced_with_meta(
+        self,
+        query: str,
+        k: int = 10,
+        pagerank: DataFrame | None = None,
+        missing: float = 0.0,
+        highlight: bool = True,
+    ) -> DataFrame:
+        """Composed query + presentation: docmap metadata, <mark>-ed
+        title and query-term-centered <mark>-ed content snippet — the
+        reference request's HighlightBuilder stage.  Highlight terms
+        include synonyms and intent/entity terms (ES highlights every
+        matched should-clause term)."""
+        from search_engine_spark.indexer.docmap import title_col
+        from search_engine_spark.query.advanced import (
+            advanced_plan,
+            plan_mark_terms,
+        )
+        from search_engine_spark.query.highlight import (
+            highlight_snippet_col,
+            mark_col,
+        )
+
+        topk = self.search_advanced(query, k, pagerank=pagerank,
+                                    missing=missing)
+        terms = plan_mark_terms(advanced_plan(query))
+        if highlight:
+            snippet = highlight_snippet_col("content", terms)
+            title = mark_col(title_col("path"), terms)
+        else:
+            snippet = F.substring("content", 1, 200)
+            title = title_col("path")
+        return (
+            self.docmap.join(F.broadcast(topk), "docid")
+            .select(
+                "docid", "score", "repo", "path", "commit", "lang",
+                title.alias("title"),
+                snippet.alias("snippet"),
+            )
+            .orderBy(F.desc("score"), F.asc("docid"))
+        )
+
+    def search_batch(
+        self,
+        queries: dict[str, str],
+        k: int = 10,
+        expand: bool = False,
+        mode: str = "or",
+        intent: bool = False,
+    ) -> DataFrame:
         """Score MANY queries in one job -> (qid, docid, score, rank).
 
         The throughput path: a (qid, term, idf) broadcast joins the
         segments scan once; (qid, slab) groups run WAND concurrently;
         a per-qid ranking window takes the global top-k.
+
+        ``expand``/``mode``/``intent`` carry the single-query
+        ``search()`` semantics per qid (rank-identical; pinned in
+        pytest): expansion weights multiply idf, ``mode="and"``
+        requires every term of that query (expansion terms included,
+        same sharp edge as ``search``), TUTORIAL-intent queries gain
+        the extra should-terms.
         """
         from search_engine_spark.query.wand import (
             BATCH_TOPK_SCHEMA,
@@ -233,25 +458,40 @@ class SearchEngine:
 
         m = self.meta
         n = float(m["n_docs"])
-        q_terms = []
+        rows = []
         for qid, q in queries.items():
-            for t in tokenize_query(q):
-                q_terms.append((qid, t))
-        if not q_terms:
+            if expand:
+                from search_engine_spark.query.expansion import expand_query
+
+                weights = expand_query(q)
+            else:
+                weights = {t: 1.0 for t in tokenize_query(q)}
+            if intent:
+                from search_engine_spark.query.intent import (
+                    intent_extra_weights,
+                )
+
+                for t, w in intent_extra_weights(q).items():
+                    weights.setdefault(t, w)
+            nreq = len(weights) if mode == "and" else 0
+            for i, (t, w) in enumerate(weights.items()):
+                rows.append((qid, t, float(w), nreq, i))
+        if not rows:
             return self.spark.createDataFrame(
                 [], BATCH_TOPK_SCHEMA + ", rank int"
             )
-        uniq_terms = list({t for _, t in q_terms})
-        qt = self.spark.createDataFrame(q_terms, "qid string, term string")
+        uniq_terms = list({r[1] for r in rows})
+        qt = self.spark.createDataFrame(
+            rows, "qid string, term string, w double, nreq int, req int"
+        )
         qt = qt.join(
-            self.df_table.filter(
-                F.col("term").isin(list({t for _, t in q_terms}))
-            ),
+            self.df_table.filter(F.col("term").isin(uniq_terms)),
             "term",
         ).withColumn(
             "idf",
-            F.log1p((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
-        ).select("qid", "term", "idf")
+            F.col("w")
+            * F.log1p((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        ).select("qid", "term", "idf", "nreq", "req")
         seg = self._pruned_segments(uniq_terms).select(
             "slab", "term", "postings", "skips", "block_max"
         )
@@ -276,11 +516,17 @@ class SearchEngine:
         )
 
     def search_batch_fields(
-        self, queries: dict[str, str], k: int = 10, expand: bool = False
+        self,
+        queries: dict[str, str],
+        k: int = 10,
+        expand: bool = False,
+        intent: bool = False,
     ) -> DataFrame:
         """Field-weighted search for MANY queries in one job — the
         batch-throughput form of ``search_fields`` (same per-field
-        weights/statistics, (qid, slab) WAND groups, per-qid top-k)."""
+        weights/statistics, (qid, slab) WAND groups, per-qid top-k;
+        ``intent`` adds the TUTORIAL content-only should-terms per
+        qid, rank-identical to the single-query path)."""
         from pyspark.sql import Window
 
         from search_engine_spark.config import TITLE_PREFIX
@@ -301,9 +547,19 @@ class SearchEngine:
         bs_t = max(1.0, av_t / float(m["norm_avgdl_title"])) if av_t else 1.0
         rows = []
         for qid, q in queries.items():
-            for t, w_c, w_t in field_weights(q, expand=expand):
+            fw = field_weights(q, expand=expand)
+            for t, w_c, w_t in fw:
                 rows.append((qid, t, float(w_c), av_c, bs_c))
                 rows.append((qid, TITLE_PREFIX + t, float(w_t), av_t, bs_t))
+            if intent:
+                from search_engine_spark.query.intent import (
+                    intent_extra_weights,
+                )
+
+                have = {t for t, _wc, _wt in fw}
+                for t, w in intent_extra_weights(q).items():
+                    if t not in have:
+                        rows.append((qid, t, float(w), av_c, bs_c))
         if not rows:
             return self.spark.createDataFrame(
                 [], BATCH_TOPK_SCHEMA + ", rank int"
@@ -382,11 +638,12 @@ class SearchEngine:
         buckets = sorted(
             {term_bucket_py(t, int(m["term_buckets"])) for t in terms}
         )
+        flt = ds.field("term").isin(terms) & ds.field("bucket").isin(buckets)
+        slabs = self._slabs_for(terms)
+        if slabs is not None:
+            flt = flt & ds.field("slab").isin(sorted(slabs))
         tab = self._local_ds.to_table(
-            filter=(
-                ds.field("term").isin(terms)
-                & ds.field("bucket").isin(buckets)
-            ),
+            filter=flt,
             columns=["slab", "term", "postings", "skips", "block_max"],
         )
         if tab.num_rows == 0:
@@ -475,11 +732,12 @@ class SearchEngine:
         buckets = sorted(
             {term_bucket_py(t, int(m["term_buckets"])) for t in terms}
         )
+        flt = ds.field("term").isin(terms) & ds.field("bucket").isin(buckets)
+        slabs = self._slabs_for(terms)
+        if slabs is not None:
+            flt = flt & ds.field("slab").isin(sorted(slabs))
         tab = self._local_ds.to_table(
-            filter=(
-                ds.field("term").isin(terms)
-                & ds.field("bucket").isin(buckets)
-            ),
+            filter=flt,
             columns=["slab", "term", "postings", "skips", "block_max"],
         )
         if tab.num_rows == 0:
@@ -515,6 +773,121 @@ class SearchEngine:
                 float(m["k1"]),
                 float(m["b"]),
                 av_c,
+            )
+            results.extend(zip(ids.tolist(), sc.tolist()))
+        results.sort(key=lambda x: (-x[1], x[0]))
+        return results[:k]
+
+    def search_local_advanced(
+        self,
+        query: str,
+        k: int = 10,
+        pagerank: dict[int, float] | None = None,
+        missing: float = 0.0,
+    ) -> list[tuple[int, float]]:
+        """Serving-path composed query: NO Spark job — the same pruned
+        pyarrow read as ``search_local`` feeding ``slab_topk_adv``
+        (clause max-combine + per-doc log1p(2*pagerank) boost from a
+        driver-resident pagerank dict).  Rank-identical to
+        ``search_advanced`` (pinned in pytest)."""
+        import math as _math
+
+        import numpy as _np
+        import pyarrow.dataset as ds
+
+        from search_engine_spark.config import TITLE_PREFIX
+        from search_engine_spark.indexer.codec import TermChunk
+        from search_engine_spark.indexer.segments import term_bucket_py
+        from search_engine_spark.query.advanced import (
+            FLD_CONTENT,
+            PAGERANK_FACTOR,
+            advanced_plan,
+        )
+        from search_engine_spark.query.wand import slab_topk_adv
+
+        m = self.meta
+        if not m.get("index_title"):
+            raise ValueError(
+                "index was built with index_title=False; rebuild to use "
+                "the composed query"
+            )
+        if self.store.kind != "parquet":
+            raise NotImplementedError(
+                "the no-Spark serving path reads parquet segment files "
+                "directly; with a catalog store, serve via search_advanced()"
+            )
+        plan = advanced_plan(query)
+        if not plan:
+            return []
+        av_c, av_t = float(m["avgdl"]), float(m["avgdl_title"])
+        bs_c = max(1.0, av_c / float(m["norm_avgdl"])) if av_c else 1.0
+        bs_t = max(1.0, av_t / float(m["norm_avgdl_title"])) if av_t else 1.0
+        # per namespaced term: list of (w, avgdl, bscale, clause, fld)
+        info: dict[str, list[tuple]] = {}
+        for clause, fld, t, w in plan:
+            if fld == FLD_CONTENT:
+                info.setdefault(t, []).append(
+                    (float(w), av_c, bs_c, clause, 0)
+                )
+            else:
+                info.setdefault(TITLE_PREFIX + t, []).append(
+                    (float(w), av_t, bs_t, clause, 1)
+                )
+        terms = list(info)
+        if self._local_ds is None:
+            self._local_ds = ds.dataset(
+                f"{self.index_dir}/segments", partitioning="hive"
+            )
+        buckets = sorted(
+            {term_bucket_py(t, int(m["term_buckets"])) for t in terms}
+        )
+        flt = ds.field("term").isin(terms) & ds.field("bucket").isin(buckets)
+        slabs = self._slabs_for(terms)
+        if slabs is not None:
+            flt = flt & ds.field("slab").isin(sorted(slabs))
+        tab = self._local_ds.to_table(
+            filter=flt,
+            columns=["slab", "term", "postings", "skips", "block_max"],
+        )
+        if tab.num_rows == 0:
+            return []
+        n, df_map = float(m["n_docs"]), self._local_df(terms)
+        idf = {
+            t: _math.log(1.0 + (n - df_map[t] + 0.5) / (df_map[t] + 0.5))
+            for t in terms
+            if t in df_map
+        }
+        by_slab: dict[int, list] = {}
+        for r in tab.to_pylist():
+            if r["term"] in idf:
+                by_slab.setdefault(int(r["slab"]), []).append(r)
+        slab_size = int(m["slab_size"])
+        use_boost = pagerank is not None
+        results: list[tuple[int, float]] = []
+        for slab, rs in by_slab.items():
+            chunks = []
+            for r in rs:
+                c = TermChunk(r["postings"], r["skips"], r["block_max"])
+                for w, avgdl_f, bsc, clause, fld in info[r["term"]]:
+                    chunks.append(
+                        (c, w * idf[r["term"]], avgdl_f, bsc, clause,
+                         fld, -1)
+                    )
+            boost = None
+            if use_boost:
+                boost = _np.full(
+                    slab_size,
+                    _math.log1p(PAGERANK_FACTOR * missing),
+                    dtype=_np.float64,
+                )
+                base = slab * slab_size
+                for d, p in pagerank.items():
+                    if base <= d < base + slab_size:
+                        boost[d - base] = _math.log1p(PAGERANK_FACTOR * p)
+            ids, sc = slab_topk_adv(
+                chunks, slab * slab_size, slab_size,
+                int(m["block_size"]), k, float(m["k1"]), float(m["b"]),
+                boost=boost,
             )
             results.extend(zip(ids.tolist(), sc.tolist()))
         results.sort(key=lambda x: (-x[1], x[0]))
@@ -680,15 +1053,23 @@ class SearchEngine:
         unknown = [t for t in mapped if t not in known]
         out = list(mapped)
         if unknown:
-            dictionary = {
-                r["term"]
-                for r in self.df_table.orderBy(F.desc("df"))
-                .limit(dict_terms)
-                .select("term")
-                .collect()
-                if not r["term"].startswith(TITLE_PREFIX)
-            }
-            sug = suggest_spelling(unknown, dictionary)
+            if self._dym_dict is None:
+                # Built ONCE per engine generation (refresh()
+                # invalidates): title-namespace terms filtered BEFORE
+                # the limit and (df desc, term asc) ordering, so the
+                # dictionary holds exactly the top-df dict_terms
+                # content terms and its boundary is deterministic.
+                self._dym_dict = {
+                    r["term"]
+                    for r in self.df_table.filter(
+                        ~F.col("term").startswith(TITLE_PREFIX)
+                    )
+                    .orderBy(F.desc("df"), F.asc("term"))
+                    .limit(dict_terms)
+                    .select("term")
+                    .collect()
+                }
+            sug = suggest_spelling(unknown, self._dym_dict)
             out = [sug.get(t, t) for t in out]
         return " ".join(out) if out != terms else None
 

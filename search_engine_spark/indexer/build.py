@@ -73,7 +73,7 @@ def build_index(
     # the docmap write, stats, postings, and df in a single lineage.
     # On resume, tokens are recomputed deterministically from the
     # docmap already on disk.
-    fresh = not (resume and store.exists("docmap"))
+    fresh = not (resume and store.exists("docmap", spark))
     if fresh:
         # A fresh build into a previously-used index_dir must not
         # inherit state: segment writes use dynamic partition
@@ -81,7 +81,7 @@ def build_index(
         # survive) and old lineage rows would corrupt a later resume.
         for sub in ("segments", "lineage"):
             try:
-                store.drop(sub)
+                store.drop(sub, spark)
             except NotImplementedError:
                 pass  # catalog-managed tables are replaced below
         docmap_tok = build_docmap(docs, use_arrow_udf=use_arrow_udf)
@@ -104,7 +104,7 @@ def build_index(
         store.write(docmap_tok.select(*DOCMAP_COLS), "docmap")
     metrics["t_docmap"] = round(time.time() - t0, 2)
 
-    if resume and store.exists("stats"):
+    if resume and store.exists("stats", spark):
         n_docs, avgdl, avgdl_title = store.read(spark, "stats").collect()[0]
     else:
         n_docs, avgdl, avgdl_title = docmap_tok.agg(
@@ -135,7 +135,7 @@ def build_index(
             build_title_postings(docmap_tok), cfg
         ).persist()
 
-    if not (resume and store.exists("df")):
+    if not (resume and store.exists("df", spark)):
         df_all = build_df_table(keyed)
         if keyed_title is not None:
             df_all = df_all.unionByName(build_df_table(keyed_title))
@@ -213,6 +213,27 @@ def build_index(
                     for s in wave
                 ],
             )
+        # Serving-tier slab inventory — derived from the CACHED
+        # postings (fresh build = one generation, so n_chunks is 1 by
+        # construction and df per (term, slab) is the row count): no
+        # segments read-back inside the build.  Appends/compactions
+        # refresh it from the segments table (write_term_slabs).
+        inv = keyed.groupBy("term", "slab").agg(
+            F.count("*").cast("long").alias("df")
+        )
+        if keyed_title is not None:
+            inv = inv.unionByName(
+                keyed_title.groupBy("term", "slab").agg(
+                    F.count("*").cast("long").alias("df")
+                )
+            )
+        store.write(
+            inv.withColumn("n_chunks", F.lit(1).cast("int")).select(
+                "term", "slab", "n_chunks", "df"
+            ),
+            "term_slabs",
+        )
+        store.refresh(spark, "term_slabs")
     finally:
         keyed.unpersist()
         if keyed_title is not None:
@@ -239,12 +260,32 @@ def build_index(
     return metrics
 
 
+def write_term_slabs(spark: SparkSession, store) -> None:
+    """Serving-tier slab-pruning stats: (term, slab) -> n_chunks, df.
+
+    A tiny inventory (one row per term per slab that actually holds a
+    posting chunk) read driver-side by the serving path, so a query
+    touches ONLY the slabs its terms occur in — at 10M docs / hundreds
+    of slabs, a rare term's latency stays proportional to its df, not
+    to the slab count.  Derived from the segments table with column
+    pruning (term/slab/df only), no decode."""
+    from pyspark.sql import functions as F  # noqa: F811 (module-local)
+
+    seg = store.read(spark, "segments")
+    inv = seg.groupBy("term", "slab").agg(
+        F.count("*").cast("int").alias("n_chunks"),
+        F.sum("df").cast("long").alias("df"),
+    )
+    store.write(inv, "term_slabs")
+    store.refresh(spark, "term_slabs")
+
+
 def append_documents(
     spark: SparkSession,
     index_dir: str,
     new_docs: DataFrame,
     use_arrow_udf: bool = True,
-    compact: bool = False,
+    compact: bool | str = False,
 ) -> dict:
     """Incrementally index a new batch (the LSM write path).
 
@@ -260,6 +301,14 @@ def append_documents(
     Until compaction, queries stay EXACT because the engine scales
     stale block-max bounds by avgdl_current / norm_avgdl (the upper
     bound grows monotonically in avgdl — engine.py).
+
+    ``compact`` policy: False = leave generations; ``"splice"`` =
+    byte-splicing merge (O(bytes moved), bounds keep their basis);
+    ``"reencode"`` or True = decode/re-encode (tightest bounds);
+    ``"auto"`` = splice by default, escalate to re-encode once the
+    block-max drift avgdl/norm_avgdl exceeds AUTO_REENCODE_DRIFT —
+    the 3x-cheaper splice stays the steady state without unbounded
+    bound looseness.
     """
     from search_engine_spark.indexer.docmap import (
         assign_docids,
@@ -313,7 +362,9 @@ def append_documents(
     if n_new == 0:
         fresh.unpersist()
         if compact:
-            compact_index(spark, index_dir)
+            mode = resolve_compact_mode(compact, meta)
+            metrics["compact_mode"] = mode
+            compact_index(spark, index_dir, mode=mode)
         metrics["append_sec"] = time.time() - t0
         return metrics
     store.write(fresh.select(*DOCMAP_COLS), "docmap", mode="append")
@@ -344,10 +395,13 @@ def append_documents(
     store.refresh(spark, "segments")
     store.refresh(spark, "docmap")
 
-    # df over ALL generations, recomputed from segment chunk dfs
-    all_seg = store.read(spark, "segments")
+    # ONE pruned segments scan refreshes both stats tables: the
+    # (term, slab) inventory, then df over ALL generations from it
+    write_term_slabs(spark, store)
     store.write(
-        all_seg.groupBy("term").agg(F.sum("df").cast("long").alias("df")),
+        store.read(spark, "term_slabs")
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df")),
         "df",
     )
 
@@ -368,10 +422,35 @@ def append_documents(
 
     store.put_meta(spark, meta)
     if compact:
-        compact_index(spark, index_dir)
+        mode = resolve_compact_mode(compact, meta)
+        metrics["compact_mode"] = mode
+        compact_index(spark, index_dir, mode=mode)
     metrics["append_sec"] = time.time() - t0
     metrics["n_docs"] = n_docs
     return metrics
+
+
+def resolve_compact_mode(compact: bool | str, meta: dict) -> str:
+    """Compaction policy.  True (legacy) -> re-encode; explicit
+    "splice"/"reencode" pass through; "auto" -> splice while block-max
+    drift (avgdl / norm_avgdl, either field) stays within
+    AUTO_REENCODE_DRIFT, re-encode once bounds have loosened past it.
+    Drift only grows when the corpus's average doclen outgrows the
+    basis the bounds were encoded with — exactly when WAND pruning
+    pays for a re-tighten."""
+    from search_engine_spark.config import AUTO_REENCODE_DRIFT
+
+    if compact is True:
+        return "reencode"
+    if compact != "auto":
+        return str(compact)
+    drift = float(meta["avgdl"]) / float(meta["norm_avgdl"])
+    if meta.get("avgdl_title") and meta.get("norm_avgdl_title"):
+        drift = max(
+            drift,
+            float(meta["avgdl_title"]) / float(meta["norm_avgdl_title"]),
+        )
+    return "reencode" if drift > AUTO_REENCODE_DRIFT else "splice"
 
 
 def compact_index(
@@ -426,6 +505,7 @@ def compact_index(
     # to EVERY later reader — Spark reuses cached relations for
     # equivalent path plans)
     store.refresh(spark, "segments")
+    write_term_slabs(spark, store)
     if mode != "splice":
         # re-encode refreshed every bound to the current avgdl;
         # splice keeps per-generation bases, so norm_avgdl must stay

@@ -65,6 +65,54 @@ def pagerank(
     return ranks
 
 
+def opic_round(edges: DataFrame, initial_cash: float = 1.0) -> DataFrame:
+    """X13 OPIC (docs/features/url-prioritization-strategies.md
+    §3): one synchronous "cash distribution" round as DataFrame ops —
+    the batch analog of the reference's per-crawl Redis Lua
+    increments.  Every node starts with ``initial_cash``; a node with
+    out-links splits ALL its cash evenly across them (source keeps 0,
+    :208-210); priority = accumulated cash.
+
+    cash(n) = (initial if outdeg(n)=0 else 0)
+              + sum over in-edges (u,n) of initial / outdeg(u)
+
+    Conservation (sum = N * initial, the doc's invariant) is pinned in
+    pytest.  Scale shape: one groupBy per round, edges co-partitioned
+    on src — the same join skeleton as ``pagerank``."""
+    edges = edges.select("src", "dst").distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    received = (
+        edges.join(outdeg, "src")
+        .select(
+            F.col("dst").alias("node"),
+            (F.lit(float(initial_cash)) / F.col("outdeg")).alias("c"),
+        )
+        .groupBy("node")
+        .agg(F.sum("c").alias("recv"))
+    )
+    has_out = outdeg.select(F.col("src").alias("node")).withColumn(
+        "spent", F.lit(True)
+    )
+    return (
+        nodes.join(received, "node", "left")
+        .join(has_out, "node", "left")
+        .select(
+            "node",
+            (
+                F.when(F.col("spent").isNotNull(), F.lit(0.0)).otherwise(
+                    F.lit(float(initial_cash))
+                )
+                + F.coalesce("recv", F.lit(0.0))
+            ).alias("cash"),
+        )
+    )
+
+
 def pagerank_converged(
     edges: DataFrame,
     d: float = PAGERANK_D,

@@ -121,6 +121,84 @@ def link_priority_col(depth, is_main_content, anchor_text):
     return F.greatest(F.lit(0.1), p)
 
 
+# --- X13 pluggable prioritization strategies -------------------------------
+# docs/features/url-prioritization-strategies.md — the four strategy
+# formulas verbatim, as pure column math (the Redis/graph state the
+# crawler versions read becomes input columns here; OPIC's cash round
+# lives in ops/graph.opic_round).
+
+STRATEGY_MAX_DEPTH = 10  # BestFirstStrategy.java MAX_DEPTH
+
+
+def bfs_priority_col(depth):
+    """BFS (:38-48): max(0, 100 - depth*10) — level order."""
+    depth = F.col(depth) if isinstance(depth, str) else depth
+    return F.greatest(
+        F.lit(0.0), F.lit(100.0) - depth.cast("double") * 10.0
+    )
+
+
+def best_first_priority_col(pagerank, authority, depth):
+    """Best-First (:70-100): (pageRank ?? 0.5)*50 +
+    (domainAuthority ?? 0.5)*30 + ((MAX_DEPTH - depth)/MAX_DEPTH)*20.
+    ``authority`` is the domain-authority score column (null = unknown
+    domain -> the reference's 0.5 default); the depth bonus is NOT
+    clamped (matches the Java)."""
+    pagerank = F.col(pagerank) if isinstance(pagerank, str) else pagerank
+    authority = F.col(authority) if isinstance(authority, str) else authority
+    depth = F.col(depth) if isinstance(depth, str) else depth
+    return (
+        F.coalesce(pagerank.cast("double"), F.lit(0.5)) * 50.0
+        + F.coalesce(authority.cast("double"), F.lit(0.5)) * 30.0
+        + (
+            (F.lit(float(STRATEGY_MAX_DEPTH)) - depth.cast("double"))
+            / float(STRATEGY_MAX_DEPTH)
+        )
+        * 20.0
+    )
+
+
+def focused_relevance_col(url, keywords: list[str]):
+    """FocusedCrawlingStrategy.calculateRelevance: fraction of topic
+    keywords the lowercased URL contains."""
+    url = F.col(url) if isinstance(url, str) else url
+    low = F.lower(url)
+    n = F.lit(0.0)
+    for kw in keywords:
+        n = n + F.when(low.contains(kw.lower()), 1.0).otherwise(0.0)
+    return n / float(len(keywords))
+
+
+def focused_priority_col(
+    url,
+    domain,
+    pagerank,
+    allowed_domains: list[str],
+    topic_keywords: list[str],
+    relevance_threshold: float,
+):
+    """Focused crawling (:265-305): 0 unless the domain matches the
+    whitelist (contains-match; empty list = no restriction) AND URL
+    relevance >= threshold; else relevance*50 + (pageRank*50 if
+    present else 25)."""
+    url = F.col(url) if isinstance(url, str) else url
+    domain = F.col(domain) if isinstance(domain, str) else domain
+    pagerank = F.col(pagerank) if isinstance(pagerank, str) else pagerank
+    if allowed_domains:
+        ok = F.lit(False)
+        for d in allowed_domains:
+            ok = ok | domain.contains(d)
+    else:
+        ok = F.lit(True)
+    rel = focused_relevance_col(url, topic_keywords)
+    boost = F.when(
+        pagerank.isNotNull(), pagerank.cast("double") * 50.0
+    ).otherwise(F.lit(25.0))
+    return F.when(
+        ok & (rel >= float(relevance_threshold)), rel * 50.0 + boost
+    ).otherwise(F.lit(0.0))
+
+
 def _glob_to_regex(glob: str) -> str:
     """Anchored regex for a path glob: ``*`` = any run, ``?`` = one
     char, everything else literal (the reference's include/exclude

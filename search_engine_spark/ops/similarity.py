@@ -253,6 +253,90 @@ def ann_rand_lsh(
     )
 
 
+def lsh_bucket_table(emb: DataFrame) -> DataFrame:
+    """The MATERIALIZED ANN index: (bucket, vec_id), one row per
+    (table-tagged sign-LSH bucket, vector) — computed ONCE at index-
+    build time (persist/write this), so queries never re-hash the
+    collection.  The explode form of ann_rand_lsh's tagged array:
+    candidates are recovered by a bucket equi-join, the shuffle-
+    friendly shape at 100 TB (co-partition by bucket; a query probes
+    ANN_LSH_TABLES buckets via broadcast)."""
+    planes = lsh_planes()
+    tagged = emb.withColumn(
+        "tb", _tagged_buckets_col(F.col("embedding"), planes)
+    )
+    return tagged.select(
+        "vec_id", F.explode("tb").alias("bucket")
+    )
+
+
+def query_buckets_py(vec, planes=None) -> list[int]:
+    """Driver-side twin of ``_tagged_buckets_col`` for ONE query
+    vector: float64 dot products accumulated left-to-right (the JVM
+    ``aggregate`` order — bit-identical signs, so the bucket ids match
+    the materialized index exactly)."""
+    planes = planes if planes is not None else lsh_planes()
+    n_tables, n_bits, _ = planes.shape
+    v = [float(x) for x in vec]
+    out = []
+    for t in range(n_tables):
+        b = 0
+        for j in range(n_bits):
+            acc = 0.0
+            for x, y in zip(v, planes[t][j]):
+                acc += x * float(y)
+            if acc > 0:
+                b += 1 << j
+        out.append(t * (1 << n_bits) + b)
+    return out
+
+
+def ann_rand_lsh_indexed(
+    emb: DataFrame,
+    bucket_table: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """Random-hyperplane LSH ANN against the PRE-BUILT bucket table —
+    the serving shape: the query vector lives driver-side (one tiny
+    lookup job), its ANN_LSH_TABLES bucket ids are computed on the
+    driver (``query_buckets_py``), and candidates come from a pruned
+    EQUI-join of those ids against the materialized (bucket, vec_id)
+    index.  Exact cosine (same JVM zip_with/aggregate expression as
+    ``ann_rand_lsh``, query as a literal array) only on candidates.
+    No per-query re-hash of the collection, no nested-loop join
+    (pinned by a plan-audit test); the candidate set — and therefore
+    the recall-gated result — is IDENTICAL to ``ann_rand_lsh``."""
+    qe = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .first()["embedding"]
+    )
+    qb = query_buckets_py(qe)
+    cand_ids = (
+        bucket_table.filter(F.col("bucket").isin(qb))
+        .select("vec_id")
+        .distinct()
+        .filter(F.col("vec_id") != query_vec_id)
+    )
+    lit_q = F.array(*[F.lit(float(x)) for x in qe])
+    a = _as_double(F.col("embedding"))
+    scored = (
+        emb.join(cand_ids, "vec_id")
+        .withColumn(
+            "cosine", dot_col(a, lit_q) / (norm2_col(a) * norm2_col(lit_q))
+        )
+    )
+    return (
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.round("cosine", 5).alias("cosine"),
+        )
+    )
+
+
 def kmeans_fit(emb: DataFrame, k: int | None = None, iters: int | None = None) -> DataFrame:
     """Lloyd's k-means as DataFrame ops (the same broadcast-join +
     groupBy loop as pagerank): assign = argmin L2 against broadcast
@@ -346,6 +430,63 @@ def ann_ivf_trained(
         F.col("vec_id") != query_vec_id
     )
     scored = with_cosine(cand.crossJoin(F.broadcast(q)), "embedding", "qe")
+    return (
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.round("cosine", 5).alias("cosine"),
+        )
+    )
+
+
+def ann_ivf_indexed(
+    emb: DataFrame,
+    assigned: DataFrame,
+    cent_rows: list[tuple[int, list[float]]],
+    query_vec_id: int = 0,
+    k: int = 10,
+    probes: int | None = None,
+) -> DataFrame:
+    """IVF ANN against MATERIALIZED state — the serving shape of
+    ``ann_ivf_trained``: ``assigned`` is the pre-built (vec_id,
+    embedding, cid) assignment table (persist/write at index time),
+    ``cent_rows`` the driver-resident codebook [(cid, centroid)].
+    Probe selection runs on the driver (L2 left-to-right float64
+    accumulation — the JVM ``aggregate`` order, ties by cid, matching
+    ``ann_ivf_trained``'s probe choice exactly); candidates come from
+    a cid-pruned filter of the assignment table; exact cosine (query
+    as a literal array) only on the shortlist.  No per-query
+    reassignment of the collection, no nested-loop join."""
+    from search_engine_spark.ops.params import IVF_TRAINED_PROBES
+
+    probes = probes or IVF_TRAINED_PROBES
+    qe = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .first()["embedding"]
+    )
+    qv = [float(x) for x in qe]
+    dists = []
+    for cid, ce in cent_rows:
+        acc = 0.0
+        for x, y in zip(qv, ce):
+            d = x - float(y)
+            acc += d * d
+        dists.append((acc, int(cid)))
+    dists.sort()
+    probe_cids = [cid for _d, cid in dists[:probes]]
+    lit_q = F.array(*[F.lit(x) for x in qv])
+    a = _as_double(F.col("embedding"))
+    scored = (
+        assigned.filter(
+            F.col("cid").isin(probe_cids)
+            & (F.col("vec_id") != query_vec_id)
+        )
+        .withColumn(
+            "cosine", dot_col(a, lit_q) / (norm2_col(a) * norm2_col(lit_q))
+        )
+    )
     return (
         scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)

@@ -244,6 +244,92 @@ def bm25_fields_sql(query: str, k: int = 10, expand: bool = False) -> str:
     )
 
 
+def bm25_full_sql(query: str, k: int = 10) -> str:
+    """Twin of contract.q_bm25_full — the composed AdvancedSearchService
+    query: per-clause per-field weighted BM25 sums, GREATEST across the
+    two fields within a clause (BEST_FIELDS dis_max), summed across
+    clauses, multiplied by ln(1 + 2*pagerank) with the deterministic
+    docid pagerank fixture (contract.PR_EXPR_TMPL)."""
+    from search_engine_spark.contract import PR_EXPR_TMPL, TITLE_EXPR
+    from search_engine_spark.query.advanced import (
+        PAGERANK_FACTOR,
+        advanced_plan,
+    )
+
+    plan = advanced_plan(query)
+    if not plan:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS docid, "
+            "CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+        )
+    c_terms = sorted({t for _cl, f, t, _w in plan if f == "c"})
+    t_terms = sorted({t for _cl, f, t, _w in plan if f == "t"})
+    c_in = ", ".join(f"'{t}'" for t in c_terms)
+    t_in = ", ".join(f"'{t}'" for t in t_terms) or "''"
+    vals = ", ".join(
+        f"({cl}, '{f}', '{t}', {float(w)!r})" for cl, f, t, w in plan
+    )
+    tfn_c = (
+        f"(p.tf * ({BM25_K1} + 1.0) / (p.tf + {BM25_K1} * "
+        f"(1.0 - {BM25_B} + {BM25_B} * p.doclen / s.avgdl)))"
+    )
+    tfn_t = (
+        f"(p.tf * ({BM25_K1} + 1.0) / (p.tf + {BM25_K1} * "
+        f"(1.0 - {BM25_B} + {BM25_B} * p.doclen / s.avgdl_title)))"
+    )
+    pr_expr = PR_EXPR_TMPL.format(c="doc_id")
+    return (
+        "WITH surv AS (SELECT doc_id, text FROM documents "
+        "QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1), "
+        "toks AS (SELECT doc_id AS docid, "
+        f"{duckdb_tokens_sql('text')} AS toks FROM surv), "
+        "tl AS (SELECT docid, toks, len(toks) AS doclen FROM toks), "
+        "exploded AS (SELECT docid, doclen, unnest(toks) AS term FROM tl), "
+        "postings AS (SELECT term, docid, CAST(count(*) AS INT) AS tf, "
+        "doclen FROM exploded GROUP BY term, docid, doclen), "
+        "ttoks AS (SELECT doc_id AS docid, "
+        f"{duckdb_tokens_sql(TITLE_EXPR)} AS toks FROM surv), "
+        "ttl AS (SELECT docid, toks, len(toks) AS doclen FROM ttoks), "
+        "texploded AS (SELECT docid, doclen, unnest(toks) AS term FROM ttl), "
+        "tpostings AS (SELECT term, docid, CAST(count(*) AS INT) AS tf, "
+        "doclen FROM texploded GROUP BY term, docid, doclen), "
+        "stats AS (SELECT CAST((SELECT count(*) FROM tl) AS DOUBLE) AS n_docs, "
+        "(SELECT avg(doclen) FROM tl) AS avgdl, "
+        "(SELECT avg(doclen) FROM ttl) AS avgdl_title), "
+        "dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings "
+        f"WHERE term IN ({c_in}) GROUP BY term), "
+        "tdfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tpostings "
+        f"WHERE term IN ({t_in}) GROUP BY term), "
+        f"plan(clause, fld, term, w) AS (SELECT * FROM (VALUES {vals})), "
+        "contribs AS ("
+        "SELECT p.docid, q.clause, q.fld, "
+        "SUM(q.w * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * "
+        f"{tfn_c}) AS fs "
+        "FROM postings p JOIN dfs d ON p.term = d.term "
+        "JOIN plan q ON p.term = q.term AND q.fld = 'c' CROSS JOIN stats s "
+        "GROUP BY p.docid, q.clause, q.fld "
+        "UNION ALL "
+        "SELECT p.docid, q.clause, q.fld, "
+        "SUM(q.w * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * "
+        f"{tfn_t}) AS fs "
+        "FROM tpostings p JOIN tdfs d ON p.term = d.term "
+        "JOIN plan q ON p.term = q.term AND q.fld = 't' CROSS JOIN stats s "
+        "GROUP BY p.docid, q.clause, q.fld), "
+        "per_clause AS (SELECT docid, clause, "
+        "GREATEST(COALESCE(SUM(CASE WHEN fld = 'c' THEN fs END), 0.0), "
+        "COALESCE(SUM(CASE WHEN fld = 't' THEN fs END), 0.0)) AS cs "
+        "FROM contribs GROUP BY docid, clause), "
+        "pr AS (SELECT doc_id AS docid, "
+        f"{pr_expr} AS pr FROM documents), "
+        "scored AS (SELECT c.docid, "
+        f"SUM(c.cs) * ln(1.0 + {float(PAGERANK_FACTOR)!r} * any_value(p.pr)) AS raw "
+        "FROM per_clause c JOIN pr p ON p.docid = c.docid "
+        "GROUP BY c.docid) "
+        "SELECT docid, ROUND(raw, 4) AS score FROM scored "
+        f"ORDER BY raw DESC, docid LIMIT {k}"
+    )
+
+
 def highlight_sql(query: str, limit: int = 100) -> str:
     """Twin of contract.q_highlight (shared rule/constants in
     query/highlight.py)."""

@@ -385,6 +385,81 @@ def url_priority_sql() -> str:
     )
 
 
+def url_priority_strategies_sql() -> str:
+    """Twin of contract_ops.q_url_priority_strategies — the X13
+    strategy formulas (BFS / Best-First / Focused) in the same op
+    order and all-DOUBLE arithmetic as the Spark columns."""
+    from search_engine_spark.contract_ops import (
+        DEPTH_EXPR,
+        FOCUSED_ALLOWED,
+        FOCUSED_KEYWORDS,
+        FOCUSED_THRESHOLD,
+        HOST_EXPR,
+        PR_FIX_EXPR,
+        AUTH_FIX_EXPR,
+        URL_EXPR,
+    )
+
+    bfs = (
+        "greatest(0.0::DOUBLE, 100.0::DOUBLE - depth::DOUBLE * 10.0::DOUBLE)"
+    )
+    best_first = (
+        "(coalesce(pr::DOUBLE, 0.5::DOUBLE) * 50.0::DOUBLE "
+        "+ coalesce(auth::DOUBLE, 0.5::DOUBLE) * 30.0::DOUBLE "
+        "+ ((10.0::DOUBLE - depth::DOUBLE) / 10.0::DOUBLE) * 20.0::DOUBLE)"
+    )
+    ok = " OR ".join(
+        f"host LIKE '%{d}%'" for d in FOCUSED_ALLOWED
+    )
+    rel_terms = " + ".join(
+        f"(CASE WHEN lower(url) LIKE '%{k.lower()}%' THEN 1.0::DOUBLE "
+        "ELSE 0.0::DOUBLE END)"
+        for k in FOCUSED_KEYWORDS
+    )
+    rel = f"(({rel_terms}) / {float(len(FOCUSED_KEYWORDS))!r}::DOUBLE)"
+    boost = (
+        "(CASE WHEN pr IS NOT NULL THEN pr::DOUBLE * 50.0::DOUBLE "
+        "ELSE 25.0::DOUBLE END)"
+    )
+    focused = (
+        f"(CASE WHEN ({ok}) AND {rel} >= {float(FOCUSED_THRESHOLD)!r}::DOUBLE "
+        f"THEN {rel} * 50.0::DOUBLE + {boost} ELSE 0.0::DOUBLE END)"
+    )
+    return (
+        "WITH u AS (SELECT doc_id, "
+        f"{URL_EXPR} AS url, {HOST_EXPR} AS host, {DEPTH_EXPR} AS depth, "
+        f"{PR_FIX_EXPR} AS pr, {AUTH_FIX_EXPR} AS auth "
+        "FROM documents) "
+        "SELECT CAST(doc_id AS BIGINT) AS docid, "
+        f"ROUND({bfs}, 5) AS bfs, "
+        f"ROUND({best_first}, 5) AS best_first, "
+        f"ROUND({focused}, 5) AS focused "
+        "FROM u ORDER BY docid"
+    )
+
+
+def opic_cash_sql() -> str:
+    """Twin of contract_ops.q_opic_cash: one OPIC cash round over the
+    supplier->customer edge graph."""
+    return (
+        "WITH edges AS (SELECT DISTINCT CAST(l.l_suppkey AS BIGINT) AS src, "
+        "CAST(o.o_custkey + 100000 AS BIGINT) AS dst "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey), "
+        "nodes AS (SELECT src AS node FROM edges "
+        "UNION SELECT dst FROM edges), "
+        "outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src), "
+        "received AS (SELECT e.dst AS node, "
+        "SUM(1.0::DOUBLE / o.outdeg) AS recv "
+        "FROM edges e JOIN outdeg o ON o.src = e.src GROUP BY e.dst) "
+        "SELECT n.node, ROUND("
+        "(CASE WHEN od.src IS NOT NULL THEN 0.0::DOUBLE "
+        "ELSE 1.0::DOUBLE END) + coalesce(r.recv, 0.0::DOUBLE), 8) AS cash "
+        "FROM nodes n LEFT JOIN received r ON r.node = n.node "
+        "LEFT JOIN outdeg od ON od.src = n.node "
+        "ORDER BY n.node"
+    )
+
+
 # --- PageRank (unrolled) ---------------------------------------------------
 
 def pagerank_sql() -> str:

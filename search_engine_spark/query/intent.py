@@ -30,9 +30,12 @@ TUTORIAL_BOOST_TERMS = ("tutorial", "guide", "how")
 
 
 def classify_intent(query: str) -> str:
+    # fullmatch mirrors Java String.matches() (whole-string): '.' in
+    # neither dialect crosses newlines, so a multiline query that only
+    # matches on its first line classifies GENERAL in both engines.
     lower = (query or "").lower()
     for intent, pat in _RULES:
-        if pat.match(lower):
+        if pat.fullmatch(lower):
             return intent
     return GENERAL
 

@@ -122,6 +122,209 @@ def slab_topk(
     return best_ids[sel] + slab_base, best_scores[sel]
 
 
+def slab_topk_adv(
+    chunks: list[tuple],
+    slab_base: int,
+    slab_size: int,
+    block_size: int,
+    k: int,
+    k1: float,
+    b: float,
+    boost: "np.ndarray | None" = None,
+    n_required: int = 0,
+    batch_blocks: int = 64,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k of one slab for the COMPOSED query (query/advanced.py).
+
+    chunks = [(TermChunk, w_idf, avgdl, bscale, clause, fld, req)]:
+
+    - rows sharing ``(clause, fld)`` accumulate additively (a per-field
+      match score); within a clause, fields combine by MAX (BEST_FIELDS
+      dis_max); distinct clauses combine by SUM (bool should);
+    - ``boost`` (optional) is a per-doc multiplicative factor of length
+      ``slab_size`` (function_score MULTIPLY, e.g. log1p(2*pagerank));
+      MUST be >= 0 everywhere — pruning uses per-block boost maxima;
+    - ``req >= 0`` marks a chunk as carrying a required base term
+      (mode='and'); with ``n_required > 0`` only docs matched by at
+      least ``n_required`` DISTINCT req ids survive.  Counting is per
+      req id, not per chunk, so a term's title+content chunks (or
+      multiple generations) count once.
+
+    Pruning stays exact: the additive per-block bound over all chunks
+    upper-bounds the sum-of-maxes (max(a,b) <= a+b for a,b >= 0), and
+    multiplying by the block's boost maximum bounds the per-doc
+    multiply.  The conjunctive filter only removes docs, so the OR
+    bound remains valid.
+    """
+    n_grid = (slab_size + block_size - 1) // block_size
+    gkey: dict[tuple, int] = {}
+    gids: list[int] = []
+    for c in chunks:
+        gids.append(gkey.setdefault((c[4], c[5]), len(gkey)))
+    by_clause: dict[int, list[int]] = {}
+    for (cl, _f), g in gkey.items():
+        by_clause.setdefault(cl, []).append(g)
+
+    ub = np.zeros(n_grid, dtype=np.float64)
+    for c, widf, _a, bscale, _cl, _f, _r in chunks:
+        np.add.at(ub, c.block_ids, widf * c.block_max * bscale)
+    ub *= 1.0 + 1e-12  # same ulp-order inflation as slab_topk
+    if boost is not None:
+        pad = n_grid * block_size - slab_size
+        bmax = np.max(
+            np.pad(boost, (0, pad)).reshape(n_grid, block_size), axis=1
+        )
+        ub = ub * (bmax * (1.0 + 1e-12))
+    active = np.flatnonzero(ub > 0.0)
+    order = active[np.argsort(-ub[active], kind="stable")]
+
+    scores2 = np.zeros((len(gkey), slab_size), dtype=np.float64)
+    counts = np.zeros(slab_size, dtype=np.int32) if n_required else None
+    best_ids = np.zeros(0, dtype=np.int64)
+    best_scores = np.zeros(0, dtype=np.float64)
+    theta = -np.inf
+    pos = 0
+    while pos < len(order):
+        batch = order[pos:pos + batch_blocks]
+        if len(best_ids) >= k and ub[batch[0]] < theta:
+            break
+        if len(best_ids) >= k:
+            cut = np.searchsorted(-ub[batch], -theta, side="right")
+            batch = batch[:cut] if cut > 0 else batch[:1]
+        pos += len(batch)
+        touched_parts = []
+        req_locals: dict[int, list] = {}
+        for i, (c, widf, c_avgdl, _b, _cl, _f, req) in enumerate(chunks):
+            sel = np.flatnonzero(np.isin(c.block_ids, batch))
+            if len(sel) == 0:
+                continue
+            local, tf, dl = c.decode_blocks(sel, block_size)
+            contrib = widf * tf_norm_factor(tf, dl, k1, b, c_avgdl)
+            np.add.at(scores2[gids[i]], local, contrib)
+            touched_parts.append(local)
+            if counts is not None and req >= 0:
+                req_locals.setdefault(req, []).append(local)
+        if not touched_parts:
+            continue
+        touched = np.unique(np.concatenate(touched_parts))
+        if counts is not None:
+            for _req, ls in req_locals.items():
+                counts[np.unique(np.concatenate(ls))] += 1
+        tot = np.zeros(len(touched), dtype=np.float64)
+        for _cl, gl in by_clause.items():
+            if len(gl) == 1:
+                tot += scores2[gl[0], touched]
+            else:
+                tot += np.maximum.reduce([scores2[g, touched] for g in gl])
+        scores2[:, touched] = 0.0  # reset buffers for next batch
+        if boost is not None:
+            tot = tot * boost[touched]
+        if counts is not None:
+            keep = counts[touched] >= n_required
+            counts[touched] = 0
+            touched, tot = touched[keep], tot[keep]
+            if len(touched) == 0:
+                continue
+        best_ids = np.concatenate([best_ids, touched])
+        best_scores = np.concatenate([best_scores, tot])
+        if len(best_ids) > k:
+            sel = np.lexsort((best_ids, -best_scores))[:k]
+            best_ids, best_scores = best_ids[sel], best_scores[sel]
+        if len(best_ids) >= k:
+            theta = best_scores.min()
+    sel = np.lexsort((best_ids, -best_scores))[:k]
+    return best_ids[sel] + slab_base, best_scores[sel]
+
+
+def make_adv_slab_scorer(
+    slab_size: int,
+    block_size: int,
+    k: int,
+    k1: float,
+    b: float,
+    factor: float,
+    missing: float = 0.0,
+    n_required: int = 0,
+):
+    """Cogrouped applyInPandas scorer for the composed query.
+
+    Left group: one slab's matching segment rows with columns
+    (slab, term, postings, skips, block_max, idf, avgdl, bscale,
+    clause, fld, req) — idf already carries the clause weight.
+    Right group: that slab's (docid, pr) pagerank rows.  Per-doc boost
+    = log1p(factor * pr), docs absent from the pagerank side boost at
+    log1p(factor * missing).
+    """
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame({"docid": [], "score": []}).astype(
+                {"docid": "int64", "score": "float64"}
+            )
+        slab = int(left["slab"].iloc[0])
+        boost = np.full(
+            slab_size, np.log1p(factor * missing), dtype=np.float64
+        )
+        if len(right):
+            loc = right["docid"].to_numpy(dtype=np.int64) - slab * slab_size
+            boost[loc] = np.log1p(
+                factor * right["pr"].to_numpy(dtype=np.float64)
+            )
+        chunks = [
+            (
+                TermChunk(r.postings, r.skips, r.block_max),
+                float(r.idf),
+                float(r.avgdl),
+                float(r.bscale),
+                int(r.clause),
+                int(r.fld),
+                int(r.req),
+            )
+            for r in left.itertuples()
+        ]
+        ids, sc = slab_topk_adv(
+            chunks, slab * slab_size, slab_size, block_size, k, k1, b,
+            boost=boost, n_required=n_required,
+        )
+        return pd.DataFrame({"docid": ids, "score": sc})
+
+    return score
+
+
+def make_adv_slab_scorer_plain(
+    slab_size: int,
+    block_size: int,
+    k: int,
+    k1: float,
+    b: float,
+    n_required: int = 0,
+):
+    """Ungrouped (no function_score) variant of the composed-query
+    scorer: same clause/field plan columns, no pagerank side."""
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        slab = int(pdf["slab"].iloc[0])
+        chunks = [
+            (
+                TermChunk(r.postings, r.skips, r.block_max),
+                float(r.idf),
+                float(r.avgdl),
+                float(r.bscale),
+                int(r.clause),
+                int(r.fld),
+                int(r.req),
+            )
+            for r in pdf.itertuples()
+        ]
+        ids, sc = slab_topk_adv(
+            chunks, slab * slab_size, slab_size, block_size, k, k1, b,
+            boost=None, n_required=n_required,
+        )
+        return pd.DataFrame({"docid": ids, "score": sc})
+
+    return score
+
+
 BATCH_TOPK_SCHEMA = "qid string, docid long, score double"
 
 
@@ -146,6 +349,28 @@ def make_batch_slab_scorer(
         slab = int(pdf["slab"].iloc[0])
         qid = pdf["qid"].iloc[0]
         per_field = "avgdl" in pdf.columns
+        nreq = int(pdf["nreq"].iloc[0]) if "nreq" in pdf.columns else 0
+        if nreq > 0:
+            # conjunctive (bool.must) per-qid: distinct-req coverage
+            # through the adv kernel (each term its own sum clause, so
+            # multi-generation chunks of one term count once)
+            chunks_adv = [
+                (
+                    TermChunk(r.postings, r.skips, r.block_max),
+                    float(r.idf),
+                    float(r.avgdl) if per_field else avgdl,
+                    float(r.bscale) if per_field else bound_scale,
+                    int(r.req),
+                    0,
+                    int(r.req),
+                )
+                for r in pdf.itertuples()
+            ]
+            ids, sc = slab_topk_adv(
+                chunks_adv, slab * slab_size, slab_size, block_size, k,
+                k1, b, boost=None, n_required=nreq,
+            )
+            return pd.DataFrame({"qid": qid, "docid": ids, "score": sc})
         chunks = [
             (
                 TermChunk(r.postings, r.skips, r.block_max),

