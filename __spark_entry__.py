@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cosine_topk": CO.q_cosine_topk,
             "ann_sign_lsh": CO.q_ann_sign_lsh,
             "ann_ivf": CO.q_ann_ivf,
+            "ann_lsh_indexed": CO.q_ann_lsh_indexed,
+            "ann_ivf_indexed": CO.q_ann_ivf_indexed,
             "cosine_neardup": CO.q_cosine_neardup,
             "pagerank": CO.q_pagerank,
             "diversify_by_source": CO.q_diversify_by_source,
@@ -177,6 +179,10 @@ def oracle_sql() -> dict[str, str]:
             "cosine_topk": OO.cosine_topk_sql(),
             "ann_sign_lsh": OO.ann_sign_lsh_sql(),
             "ann_ivf": OO.ann_ivf_sql(),
+            # the indexed serving shapes return identical results by
+            # construction, so they share the scan forms' oracles
+            "ann_lsh_indexed": OO.ann_sign_lsh_sql(),
+            "ann_ivf_indexed": OO.ann_ivf_sql(),
             "cosine_neardup": OO.cosine_neardup_sql(),
             "pagerank": OO.pagerank_sql(),
             "diversify_by_source": OO.diversify_by_source_sql(),

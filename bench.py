@@ -131,6 +131,17 @@ def main() -> None:
         min(pass_secs) / len(REFERENCE_QUERIES) * 1000, 2
     )
 
+    # --- 2b2. S8 result cache: same 12 queries through the TTL+LRU
+    # cache (first pass populates, later passes hit) — the reference's
+    # SearchCachePort analog on the serving tier ---
+    t0 = time.time()
+    for _ in range(reps):
+        for q in REFERENCE_QUERIES.values():
+            eng.search_local_cached(q, 10)
+    queries["serving_cached_36q"] = round(time.time() - t0, 3)
+    extras["cache_hits"] = eng._result_cache.hits
+    extras["cache_misses"] = eng._result_cache.misses
+
     # --- 2c. field-weighted search (title^3/content^1) ---
     t0 = time.time()
     eng.search_fields("database index merge", 10).collect()

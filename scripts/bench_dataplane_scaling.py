@@ -80,6 +80,13 @@ def main() -> None:
     t_lo = min(r["value"] for r in runs[lo])
     t_hi = min(r["value"] for r in runs[hi])
     eff = (t_lo / t_hi) / factor
+    # per-repeat ADJACENT-pair efficiencies: each repeat runs lo then
+    # hi back-to-back, so pair i shares one host window — the
+    # throttle-robust view (best pair) alongside the min-based one
+    pair_effs = [
+        round((rl["value"] / rh["value"]) / factor, 3)
+        for rl, rh in zip(runs[lo], runs[hi])
+    ]
     summary = {
         "metric": "dataplane_scaling_efficiency",
         "value": round(eff, 3),
@@ -94,6 +101,8 @@ def main() -> None:
             "repeats": args.repeats,
             "all_lo": [r["value"] for r in runs[lo]],
             "all_hi": [r["value"] for r in runs[hi]],
+            "adjacent_pair_effs": pair_effs,
+            "best_pair_eff": max(pair_effs),
             "date": str(datetime.date.today()),
         },
     }

@@ -60,6 +60,20 @@ def main() -> None:
         compact_index(spark, work, mode=mode)
         results[mode] = round(time.time() - t0, 3)
     ratio = round(results["reencode"] / results["splice"], 2)
+
+    # the auto policy (append_documents(compact="auto")): verify which
+    # mode it resolves for this (un-drifted) index and time that path,
+    # so the bench row pins "the 3x splice win is the default"
+    from search_engine_spark.catalog import store_for
+    from search_engine_spark.indexer.build import resolve_compact_mode
+
+    meta = store_for(idx).get_meta(spark)
+    auto_mode = resolve_compact_mode("auto", meta)
+    work = os.path.join(base, "auto")
+    shutil.copytree(idx, work)
+    t0 = time.time()
+    compact_index(spark, work, mode=auto_mode)
+    results["auto"] = round(time.time() - t0, 3)
     print(
         json.dumps(
             {
@@ -69,11 +83,13 @@ def main() -> None:
                 "queries": {
                     "compact_splice": results["splice"],
                     "compact_reencode": results["reencode"],
+                    "compact_auto": results["auto"],
                 },
                 "sf": f"synthetic_{args.docs}",
                 "extras": {
                     "parallelism": args.cpus,
                     "speedup_reencode_over_splice": ratio,
+                    "auto_resolved_mode": auto_mode,
                 },
             }
         )

@@ -52,6 +52,9 @@ class SearchEngine:
         self._local_ds = None
         self._df_cache: dict[str, int] = {}
         self._dym_dict: set[str] | None = None
+        # S8 result cache: dropped wholesale per engine generation so a
+        # refresh() after append/compact can never serve stale results
+        self._result_cache = None
         self._term_slab_cache: dict[str, frozenset] | None = (
             {} if self.store.kind == "parquet"
             and os.path.exists(f"{self.index_dir}/term_slabs/_SUCCESS")
@@ -683,6 +686,32 @@ class SearchEngine:
             results.extend(zip(ids.tolist(), sc.tolist()))
         results.sort(key=lambda x: (-x[1], x[0]))
         return results[:k]
+
+    def search_local_cached(
+        self, query: str, k: int = 10, ttl_sec: float | None = None
+    ) -> list[tuple[int, float]]:
+        """``search_local`` behind the S8 result cache (SURVEY §2.1).
+
+        The reference declares SearchCachePort.get/put(key, response,
+        ttl) with key ``search:{q}:{page}:{size}:{sort}``
+        (SE/application/search/port/output/SearchCachePort.java:10-45)
+        but ships no adapter; this is that adapter for the serving
+        tier (cache.SearchCache: TTL + LRU + hit/miss counters).  The
+        cache lives one engine GENERATION: ``refresh()`` after any
+        append/compact drops it, so staleness is bounded by both TTL
+        and index generation.
+        """
+        from search_engine_spark.cache import SearchCache, search_key
+
+        if self._result_cache is None:
+            self._result_cache = SearchCache()
+        key = search_key(query, 0, k, "score")
+        hit = self._result_cache.get(key)
+        if hit is not None:
+            return hit
+        res = self.search_local(query, k)
+        self._result_cache.put(key, res, ttl_sec)
+        return res
 
     def search_local_fields(
         self, query: str, k: int = 10, expand: bool = False

@@ -107,6 +107,59 @@ def ann_sign_lsh(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFram
     )
 
 
+def sign_bucket_table(emb: DataFrame) -> DataFrame:
+    """Materialized sign-LSH index: (vec_id, bucket), computed ONCE at
+    index-build time (persist/write this).  The serving twin of
+    ``ann_sign_lsh``'s generated bucket column — queries never re-hash
+    the collection; candidates come from a bucket equi-probe.  Bucket
+    membership is sign-exact (no float arithmetic crosses the
+    driver/JVM boundary), so the candidate set is IDENTICAL to
+    ``ann_sign_lsh`` by construction."""
+    return emb.select(
+        "vec_id", sign_bucket_col(F.col("embedding")).alias("bucket")
+    )
+
+
+def ann_sign_lsh_indexed(
+    emb: DataFrame,
+    bucket_table: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """Sign-LSH ANN against the PRE-BUILT (vec_id, bucket) table — the
+    serving shape: the query's bucket is computed on the driver from
+    its vector (bit j set iff vec[j] > 0, exact), candidates are a
+    pruned filter of the materialized index, and exact cosine (same
+    JVM expression order as ``with_cosine``, query as a literal
+    array) runs only on candidates.  Result is identical to
+    ``ann_sign_lsh`` (contract-gated against the same DuckDB oracle);
+    no per-query re-hash, no nested-loop join."""
+    from search_engine_spark.ops.params import ANN_SIGN_DIMS as _DIMS
+
+    qe = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .first()["embedding"]
+    )
+    qb = sum(1 << j for j in range(_DIMS) if float(qe[j]) > 0)
+    cand_ids = bucket_table.filter(
+        (F.col("bucket") == qb) & (F.col("vec_id") != query_vec_id)
+    ).select("vec_id")
+    lit_q = F.array(*[F.lit(float(x)) for x in qe])
+    a = _as_double(F.col("embedding"))
+    scored = emb.join(cand_ids, "vec_id").withColumn(
+        "cosine", dot_col(a, lit_q) / (norm2_col(a) * norm2_col(lit_q))
+    )
+    return (
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.round("cosine", 5).alias("cosine"),
+        )
+    )
+
+
 def ivf_assignments(emb: DataFrame, n_centroids: int = IVF_CENTROIDS) -> DataFrame:
     """Assign every vector to its nearest (L2) coarse centroid.
 

@@ -98,6 +98,41 @@ def test_rand_lsh_indexed_plan_no_nlj(spark, emb):
     assert "CartesianProduct" not in plan
 
 
+def test_sign_lsh_indexed_equals_scan(emb):
+    """The axis-sign variant's materialized (vec_id, bucket) table
+    serves EXACTLY the scan path's results (bucket membership is
+    sign-exact, so the candidate set is identical by construction) —
+    this pair backs the ann_lsh_indexed contract entry sharing
+    ann_sign_lsh's DuckDB oracle."""
+    bt = sim.sign_bucket_table(emb).cache()
+    bt.count()
+    for q in range(N_QUERIES):
+        a = [
+            (r["vec_id"], r["cosine"])
+            for r in sim.ann_sign_lsh(emb, q, K).collect()
+        ]
+        b = [
+            (r["vec_id"], r["cosine"])
+            for r in sim.ann_sign_lsh_indexed(emb, bt, q, K).collect()
+        ]
+        assert a == b, q
+    bt.unpersist()
+
+
+def test_sign_lsh_indexed_plan_no_nlj(spark, emb):
+    import io
+    from contextlib import redirect_stdout
+
+    bt = sim.sign_bucket_table(emb)
+    df = sim.ann_sign_lsh_indexed(emb, bt, 0, K)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_ivf_indexed_equals_trained(emb):
     cent = sim.kmeans_fit(emb).cache()
     cent.count()

@@ -23,14 +23,114 @@ def test_media_schema_and_stats(media):
     assert sum(stats.values()) == 120
 
 
-def test_decode_stub_raises():
+def test_decode_compressed_still_raises():
+    # entropy codecs stay behind the documented stub (no pillow here)
+    for magic in (b"\x89PNG\r\n", b"\xff\xd8\xff\xe0", b"GIF89a"):
+        with pytest.raises(NotImplementedError):
+            mm.decode_image(magic + b"\x00" * 32)
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG")
+        mm.resize_image(b"\x89PNG" + b"\x00" * 32, 64, 64)
 
 
-def test_resize_stub_raises():
+def _gradient(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack([(x * 7) % 256, (y * 13) % 256, (x + y) % 256],
+                    axis=-1).astype(np.uint8)
+
+
+def test_ppm_roundtrip_and_comments():
+    img = _gradient(5, 9)
+    assert np.array_equal(mm.decode_image(mm.encode_ppm(img)), img)
+    # whitespace/comment-tolerant header
+    hdr = b"P6 # a comment\n# another\n 9\t5 # w h\n255\n"
+    assert np.array_equal(mm.decode_image(hdr + img.tobytes()), img)
+    gray = img[:, :, 0]
+    assert np.array_equal(mm.decode_image(mm.encode_ppm(gray)), gray)
+
+
+def _make_bmp(img, bottom_up=True, bpp=24):
+    """Hand-rolled BI_RGB BMP writer (test-only twin of the decoder)."""
+    h, w = img.shape[:2]
+    nb = bpp // 8
+    stride = (w * nb + 3) & ~3
+    rows = []
+    order = range(h - 1, -1, -1) if bottom_up else range(h)
+    for yy in order:
+        px = b"".join(
+            bytes([img[yy, xx, 2], img[yy, xx, 1], img[yy, xx, 0]])
+            + (b"\xff" if nb == 4 else b"")
+            for xx in range(w)
+        )
+        rows.append(px + b"\x00" * (stride - w * nb))
+    data = b"".join(rows)
+    off = 14 + 40
+    header = (
+        b"BM" + (off + len(data)).to_bytes(4, "little") + b"\x00" * 4
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + (h if bottom_up else -h).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + bpp.to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + b"\x00" * 20
+    )
+    return header + data
+
+
+def test_bmp_decode_24_and_32_bit_both_orientations():
+    img = _gradient(4, 6)
+    for bottom_up in (True, False):
+        for bpp in (24, 32):
+            got = mm.decode_image(_make_bmp(img, bottom_up, bpp))
+            assert np.array_equal(got, img), (bottom_up, bpp)
     with pytest.raises(NotImplementedError):
-        mm.resize_image(b"\x89PNG", 64, 64)
+        mm.decode_image(_make_bmp(img)[:30] + b"\x01" + _make_bmp(img)[31:])
+
+
+def test_resize_nearest_exact():
+    img = np.array([[[0, 0, 0], [10, 10, 10]],
+                    [[20, 20, 20], [30, 30, 30]]], dtype=np.uint8)
+    up = mm.resize_nearest(img, 4, 4)
+    assert up.shape == (4, 4, 3)
+    # 2x upscale of 2x2 with center mapping = each pixel repeated 2x2
+    assert np.array_equal(up[:2, :2, 0], np.zeros((2, 2)))
+    assert np.array_equal(up[2:, 2:, 0], np.full((2, 2), 30))
+    out = mm.decode_image(mm.resize_image(mm.encode_ppm(img), 4, 4))
+    assert np.array_equal(out, up)
+
+
+def test_decode_features_spark_end_to_end(spark):
+    docs = spark.range(40).select(F.col("id").alias("docid"))
+    media = mm.synthesize_ppm_media(docs)
+    feats = {r["media_id"]: r for r in mm.decode_features(media).collect()}
+    assert len(feats) == 40 and all(f["ok"] for f in feats.values())
+    for did in (0, 7, 23):
+        w, h = 8 + did % 9, 8 + did % 7
+        f = feats[did]
+        assert (f["width"], f["height"], f["channels"]) == (w, h, 3)
+        y, x = np.mgrid[0:h, 0:w]
+        img = np.stack([(x * 3 + did) % 256, (y * 5 + did * 7) % 256,
+                        (x + y + did * 11) % 256], axis=-1)
+        want = (img[:, :, 0] * 0.299 + img[:, :, 1] * 0.587
+                + img[:, :, 2] * 0.114).mean()
+        assert f["mean_luma"] == pytest.approx(float(want), rel=1e-9)
+
+
+def test_decode_features_quarantines_bad_rows(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "media_id": [1, 2],
+            "media_type": ["image/x-ppm", "image/png"],
+            "media": [mm.encode_ppm(_gradient(3, 3)), b"\x89PNG\r\n junk"],
+            "width": [3, 0], "height": [3, 0], "n_bytes": [0, 0],
+        }
+    )
+    media = spark.createDataFrame(pdf, schema=mm.MEDIA_SCHEMA)
+    rows = {r["media_id"]: r for r in mm.decode_features(media).collect()}
+    assert rows[1]["ok"] and not rows[2]["ok"]
+    assert rows[2]["width"] is None
 
 
 def test_frame_sampling_fanout(media):
