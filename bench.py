@@ -178,6 +178,11 @@ def main() -> None:
     eng.search_batch(dict(REFERENCE_QUERIES), 10, mode="and").count()
     queries["batch_and_12q"] = round(time.time() - t0, 3)
 
+    # --- 3c. batch composed query (per-slab shared pagerank boost) ---
+    t0 = time.time()
+    eng.search_batch_advanced(dict(REFERENCE_QUERIES), 10, pagerank=pr).count()
+    queries["batch_adv_12q"] = round(time.time() - t0, 3)
+
     # --- 4. sf-dir contract queries ---
     import __spark_entry__ as E
 

@@ -604,6 +604,135 @@ class SearchEngine:
             .filter(F.col("rank") <= k)
         )
 
+    def search_batch_advanced(
+        self,
+        queries: dict[str, str],
+        k: int = 10,
+        pagerank: DataFrame | None = None,
+        missing: float = 0.0,
+        mode: str = "or",
+    ) -> DataFrame:
+        """The COMPOSED query (``search_advanced``) for MANY queries in
+        one job -> (qid, docid, score, rank) — completing the batch
+        feature matrix (plain/fields/advanced each have a batch twin).
+
+        Per-qid semantics are ``search_advanced``'s exactly (pinned in
+        pytest): BEST_FIELDS originals, per-synonym clauses, intent +
+        entity clauses, optional function_score MULTIPLY
+        log1p(2*pagerank) over ALL candidates, ``mode="and"``
+        requiring every corrected original term.
+
+        Shapes: without pagerank, (qid, slab) groups like
+        ``search_batch``.  With pagerank, groups are per SLAB and the
+        pagerank rows cogroup once per slab — the boost vector is
+        query-independent, so it is built once and shared by every
+        query in the batch instead of replicating the pagerank table
+        per qid (the scale-relevant choice at 100 TB).  Queries whose
+        plan is empty (all terms tokenized away) yield no rows, as in
+        ``search_batch``.
+        """
+        from pyspark.sql import Window
+
+        from search_engine_spark.config import TITLE_PREFIX
+        from search_engine_spark.query.advanced import (
+            FLD_CONTENT,
+            PAGERANK_FACTOR,
+            advanced_plan,
+            plan_orig_terms,
+        )
+        from search_engine_spark.query.wand import (
+            BATCH_TOPK_SCHEMA,
+            make_batch_adv_cogroup_scorer,
+            make_batch_adv_slab_scorer,
+        )
+
+        m = self.meta
+        if not m.get("index_title"):
+            raise ValueError(
+                "index was built with index_title=False; rebuild to use "
+                "the composed query"
+            )
+        av_c, av_t = float(m["avgdl"]), float(m["avgdl_title"])
+        bs_c = max(1.0, av_c / float(m["norm_avgdl"])) if av_c else 1.0
+        bs_t = max(1.0, av_t / float(m["norm_avgdl_title"])) if av_t else 1.0
+        rows = []
+        for qid, q in queries.items():
+            plan = advanced_plan(q)
+            if not plan:
+                continue
+            orig = plan_orig_terms(q)
+            req_of = {t: i for i, t in enumerate(orig)}
+            nreq = len(orig) if mode == "and" else 0
+            for clause, fld, t, w in plan:
+                req = req_of.get(t, -1) if clause == 0 else -1
+                if fld == FLD_CONTENT:
+                    rows.append(
+                        (qid, t, float(w), av_c, bs_c, clause, 0, req, nreq)
+                    )
+                else:
+                    rows.append(
+                        (qid, TITLE_PREFIX + t, float(w), av_t, bs_t,
+                         clause, 1, req, nreq)
+                    )
+        if not rows:
+            return self.spark.createDataFrame(
+                [], BATCH_TOPK_SCHEMA + ", rank int"
+            )
+        uniq_terms = list({r[1] for r in rows})
+        qt = self.spark.createDataFrame(
+            rows,
+            "qid string, term string, w double, avgdl double, "
+            "bscale double, clause int, fld int, req int, nreq int",
+        )
+        n = float(m["n_docs"])
+        qt = (
+            qt.join(
+                self.df_table.filter(F.col("term").isin(uniq_terms)), "term"
+            )
+            .withColumn(
+                "idf",
+                F.col("w")
+                * F.log1p((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+            )
+            .select(
+                "qid", "term", "idf", "avgdl", "bscale",
+                "clause", "fld", "req", "nreq",
+            )
+        )
+        seg = self._pruned_segments(uniq_terms).select(
+            "slab", "term", "postings", "skips", "block_max"
+        )
+        joined = seg.join(F.broadcast(qt), "term")
+        slab_size = int(m["slab_size"])
+        if pagerank is None:
+            scorer = make_batch_adv_slab_scorer(
+                slab_size, int(m["block_size"]), k,
+                float(m["k1"]), float(m["b"]),
+            )
+            per = joined.groupBy("qid", "slab").applyInPandas(
+                scorer, schema=BATCH_TOPK_SCHEMA
+            )
+        else:
+            pr = pagerank.select(
+                F.col(pagerank.columns[0]).cast("long").alias("docid"),
+                F.col(pagerank.columns[1]).cast("double").alias("pr"),
+            ).withColumn("slab", (F.col("docid") / slab_size).cast("int"))
+            scorer = make_batch_adv_cogroup_scorer(
+                slab_size, int(m["block_size"]), k,
+                float(m["k1"]), float(m["b"]), PAGERANK_FACTOR,
+                missing=missing,
+            )
+            per = (
+                joined.groupBy("slab")
+                .cogroup(pr.groupBy("slab"))
+                .applyInPandas(scorer, schema=BATCH_TOPK_SCHEMA)
+            )
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            per.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
     def search_local(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Serving-path top-k: NO Spark job — pyarrow pruned read of
         the term/bucket segment files + the same numpy block-max WAND

@@ -396,6 +396,93 @@ def make_batch_slab_scorer(
     return score
 
 
+def _adv_chunks_from_rows(rows) -> list[tuple]:
+    return [
+        (
+            TermChunk(r.postings, r.skips, r.block_max),
+            float(r.idf),
+            float(r.avgdl),
+            float(r.bscale),
+            int(r.clause),
+            int(r.fld),
+            int(r.req),
+        )
+        for r in rows
+    ]
+
+
+def make_batch_adv_slab_scorer(
+    slab_size: int, block_size: int, k: int, k1: float, b: float
+):
+    """applyInPandas scorer for (qid, slab) groups of the COMPOSED
+    query — the batch twin of ``make_adv_slab_scorer_plain``: each
+    group carries one query's clause-plan rows for one slab
+    (idf/avgdl/bscale/clause/fld/req per row, constant nreq per qid).
+    """
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        slab = int(pdf["slab"].iloc[0])
+        qid = pdf["qid"].iloc[0]
+        nreq = int(pdf["nreq"].iloc[0])
+        ids, sc = slab_topk_adv(
+            _adv_chunks_from_rows(pdf.itertuples()),
+            slab * slab_size, slab_size, block_size, k, k1, b,
+            boost=None, n_required=nreq,
+        )
+        return pd.DataFrame({"qid": qid, "docid": ids, "score": sc})
+
+    return score
+
+
+def make_batch_adv_cogroup_scorer(
+    slab_size: int,
+    block_size: int,
+    k: int,
+    k1: float,
+    b: float,
+    factor: float,
+    missing: float = 0.0,
+):
+    """Cogrouped scorer for the batch composed query WITH
+    function_score: groups are per SLAB (not per (qid, slab)) so the
+    per-doc boost vector — which is query-independent — is built ONCE
+    per slab from the cogrouped pagerank rows and shared by every
+    query in the batch; each qid's clause rows then run the adv kernel
+    against it.  At 100 TB this is the shape that avoids replicating
+    the pagerank table per query: the only duplicated state per
+    (slab, query) is the tiny clause plan."""
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"qid": pd.Series([], dtype="object"), "docid": [], "score": []}
+        ).astype({"docid": "int64", "score": "float64"})
+        if len(left) == 0:
+            return empty
+        slab = int(left["slab"].iloc[0])
+        boost = np.full(
+            slab_size, np.log1p(factor * missing), dtype=np.float64
+        )
+        if len(right):
+            loc = right["docid"].to_numpy(dtype=np.int64) - slab * slab_size
+            boost[loc] = np.log1p(
+                factor * right["pr"].to_numpy(dtype=np.float64)
+            )
+        frames = []
+        for qid, pdf in left.groupby("qid", sort=True):
+            nreq = int(pdf["nreq"].iloc[0])
+            ids, sc = slab_topk_adv(
+                _adv_chunks_from_rows(pdf.itertuples()),
+                slab * slab_size, slab_size, block_size, k, k1, b,
+                boost=boost, n_required=nreq,
+            )
+            frames.append(
+                pd.DataFrame({"qid": qid, "docid": ids, "score": sc})
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    return score
+
+
 def make_slab_scorer(
     slab_size: int,
     block_size: int,

@@ -242,6 +242,33 @@ def test_search_batch_parity_and_mode(engine):
     assert "c" not in by_qid  # unknown term -> conjunction unsatisfiable
 
 
+def test_search_batch_advanced_parity(engine, oracle):
+    """search_batch_advanced ≡ search_advanced per qid: or-mode,
+    pagerank (per-slab cogrouped boost), and and-mode."""
+    batch = {f"q{i}": q for i, q in enumerate(ADV_QUERIES)}
+    pr_df = _pr_df(engine.spark, oracle)
+    for kwargs in ({}, {"pagerank": pr_df}, {"mode": "and"}):
+        got = engine.search_batch_advanced(batch, 10, **kwargs).collect()
+        by_qid: dict[str, list] = {}
+        for r in got:
+            by_qid.setdefault(r["qid"], []).append(r)
+        for qid, q in batch.items():
+            want = engine.search_advanced(q, 10, **kwargs).collect()
+            rows = sorted(by_qid.get(qid, []), key=lambda r: r["rank"])
+            assert [r["docid"] for r in rows] == [
+                r["docid"] for r in want
+            ], (qid, kwargs)
+            for g, w in zip(rows, want):
+                assert g["score"] == pytest.approx(w["score"], rel=1e-9)
+
+
+def test_search_batch_advanced_empty_plan(engine):
+    # all-stopword query drops out; the other query still scores
+    out = engine.search_batch_advanced({"a": "the and of", "b": "java"}, 5)
+    qids = {r["qid"] for r in out.collect()}
+    assert qids == {"b"}
+
+
 def test_search_batch_fields_intent_parity(engine):
     qs = {"a": "how to merge", "b": "python tutorial", "c": "buffer"}
     out = engine.search_batch_fields(qs, 10, intent=True).collect()
