@@ -51,13 +51,13 @@ class SearchEngine:
             self.df_table = self.df_table.cache()
         self._local_ds = None
         self._df_cache: dict[str, int] = {}
-        self._dym_dict: set[str] | None = None
+        self._dym_dict: tuple[int, set[str]] | None = None
         # S8 result cache: dropped wholesale per engine generation so a
         # refresh() after append/compact can never serve stale results
         self._result_cache = None
         self._term_slab_cache: dict[str, frozenset] | None = (
             {} if self.store.kind == "parquet"
-            and os.path.exists(f"{self.index_dir}/term_slabs/_SUCCESS")
+            and self.store.exists("term_slabs")
             else None
         )
         return self
@@ -397,6 +397,7 @@ class SearchEngine:
         pagerank: DataFrame | None = None,
         missing: float = 0.0,
         highlight: bool = True,
+        mode: str = "or",
     ) -> DataFrame:
         """Composed query + presentation: docmap metadata, <mark>-ed
         title and query-term-centered <mark>-ed content snippet — the
@@ -414,7 +415,7 @@ class SearchEngine:
         )
 
         topk = self.search_advanced(query, k, pagerank=pagerank,
-                                    missing=missing)
+                                    missing=missing, mode=mode)
         terms = plan_mark_terms(advanced_plan(query))
         if highlight:
             snippet = highlight_snippet_col("content", terms)
@@ -837,9 +838,9 @@ class SearchEngine:
         key = search_key(query, 0, k, "score")
         hit = self._result_cache.get(key)
         if hit is not None:
-            return hit
+            return list(hit)  # copy: caller mutation must not reach the cache
         res = self.search_local(query, k)
-        self._result_cache.put(key, res, ttl_sec)
+        self._result_cache.put(key, tuple(res), ttl_sec)
         return res
 
     def search_local_fields(
@@ -1021,6 +1022,13 @@ class SearchEngine:
                 by_slab.setdefault(int(r["slab"]), []).append(r)
         slab_size = int(m["slab_size"])
         use_boost = pagerank is not None
+        pr_by_slab: dict[int, list[tuple[int, float]]] = {}
+        if use_boost:
+            # one pass over the dict, not one per candidate slab — at
+            # 1M pagerank entries x 40 touched slabs the per-slab scan
+            # would dwarf the pruned pyarrow read this path exists for
+            for d, p in pagerank.items():
+                pr_by_slab.setdefault(d // slab_size, []).append((d, p))
         results: list[tuple[int, float]] = []
         for slab, rs in by_slab.items():
             chunks = []
@@ -1039,9 +1047,8 @@ class SearchEngine:
                     dtype=_np.float64,
                 )
                 base = slab * slab_size
-                for d, p in pagerank.items():
-                    if base <= d < base + slab_size:
-                        boost[d - base] = _math.log1p(PAGERANK_FACTOR * p)
+                for d, p in pr_by_slab.get(slab, ()):
+                    boost[d - base] = _math.log1p(PAGERANK_FACTOR * p)
             ids, sc = slab_topk_adv(
                 chunks, slab * slab_size, slab_size,
                 int(m["block_size"]), k, float(m["k1"]), float(m["b"]),
@@ -1211,13 +1218,13 @@ class SearchEngine:
         unknown = [t for t in mapped if t not in known]
         out = list(mapped)
         if unknown:
-            if self._dym_dict is None:
+            if self._dym_dict is None or self._dym_dict[0] != dict_terms:
                 # Built ONCE per engine generation (refresh()
                 # invalidates): title-namespace terms filtered BEFORE
                 # the limit and (df desc, term asc) ordering, so the
                 # dictionary holds exactly the top-df dict_terms
                 # content terms and its boundary is deterministic.
-                self._dym_dict = {
+                self._dym_dict = (dict_terms, {
                     r["term"]
                     for r in self.df_table.filter(
                         ~F.col("term").startswith(TITLE_PREFIX)
@@ -1226,8 +1233,8 @@ class SearchEngine:
                     .limit(dict_terms)
                     .select("term")
                     .collect()
-                }
-            sug = suggest_spelling(unknown, self._dym_dict)
+                })
+            sug = suggest_spelling(unknown, self._dym_dict[1])
             out = [sug.get(t, t) for t in out]
         return " ".join(out) if out != terms else None
 

@@ -442,8 +442,13 @@ def resolve_compact_mode(compact: bool | str, meta: dict) -> str:
 
     if compact is True:
         return "reencode"
-    if compact != "auto":
+    if compact in ("splice", "reencode"):
         return str(compact)
+    if compact != "auto":
+        raise ValueError(
+            f"unknown compact mode {compact!r}: use True, 'splice', "
+            "'reencode' or 'auto'"
+        )
     drift = float(meta["avgdl"]) / float(meta["norm_avgdl"])
     if meta.get("avgdl_title") and meta.get("norm_avgdl_title"):
         drift = max(

@@ -169,13 +169,18 @@ def slab_topk_adv(
     for c, widf, _a, bscale, _cl, _f, _r in chunks:
         np.add.at(ub, c.block_ids, widf * c.block_max * bscale)
     ub *= 1.0 + 1e-12  # same ulp-order inflation as slab_topk
+    # activity = "block has matches" and MUST come from the term bound
+    # alone: a block whose boost maximum is 0 still holds matched docs
+    # that legitimately score 0.0 and belong in the result (the oracle
+    # ranks them by docid) — zeroed-ub blocks sort last and are pruned
+    # only by the theta rule (strict <, so theta=0 never drops them).
+    active = np.flatnonzero(ub > 0.0)
     if boost is not None:
         pad = n_grid * block_size - slab_size
         bmax = np.max(
             np.pad(boost, (0, pad)).reshape(n_grid, block_size), axis=1
         )
         ub = ub * (bmax * (1.0 + 1e-12))
-    active = np.flatnonzero(ub > 0.0)
     order = active[np.argsort(-ub[active], kind="stable")]
 
     scores2 = np.zeros((len(gkey), slab_size), dtype=np.float64)

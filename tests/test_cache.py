@@ -93,6 +93,16 @@ def test_cached_equals_uncached_and_hits(engine, monkeypatch):
     assert calls["n"] == 1
 
 
+def test_caller_mutation_does_not_corrupt_cache(engine):
+    """Round-3 review: the hit path returns a COPY — a serving
+    handler reversing/popping the result list must not poison
+    subsequent hits."""
+    a = engine.search_local_cached("java merge", 10)
+    a.reverse()
+    b = engine.search_local_cached("java merge", 10)
+    assert b == engine.search_local("java merge", 10)
+
+
 def test_refresh_drops_cache(engine):
     engine.search_local_cached("python table", 10)
     assert engine._result_cache is not None and len(engine._result_cache) >= 1

@@ -135,6 +135,8 @@ def test_resolve_compact_mode():
     assert resolve_compact_mode("auto", meta_tight) == "splice"
     assert resolve_compact_mode("auto", meta_drifted) == "reencode"
     assert resolve_compact_mode("auto", meta_title_drift) == "reencode"
+    with pytest.raises(ValueError):  # typos must not silently re-encode
+        resolve_compact_mode("splce", meta_tight)
 
 
 def test_append_auto_compact_splice(spark, tmp_path_factory):

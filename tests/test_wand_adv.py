@@ -131,3 +131,34 @@ def test_adv_kernel_boost_zero_prunes_nothing_wrong():
             assert s == 0.0
         else:
             assert s > 0.0
+
+
+def test_adv_kernel_all_zero_boost_block_still_returned():
+    """Regression (round-3 review): a block whose boost maximum is 0
+    must still surface its matched docs at score 0.0 — activity comes
+    from the TERM bound, not the boosted bound.  The oracle ranks
+    zero-boost docs by (0.0, docid), so dropping the block breaks
+    rank parity whenever fewer than k docs carry positive boost."""
+    rng = np.random.default_rng(13)
+    c, docs, tf, dl = _mk_chunk(rng, 60)
+    boost = np.zeros(SLAB)  # EVERY block's bmax is 0
+    chunks = [(c, 1.0, AVGDL, 1.0, 0, 0, -1)]
+    ids, sc = slab_topk_adv(
+        chunks, 0, SLAB, BLOCK, 100, BM25_K1, BM25_B, boost=boost
+    )
+    assert sorted(ids.tolist()) == sorted(docs.tolist())
+    assert (sc == 0.0).all()
+    # docid-ascending among equal scores
+    assert list(ids) == sorted(ids.tolist())
+
+    # mixed case: one block fully zeroed, others boosted — zeroed
+    # block's docs still appear (at the tail, score 0.0)
+    boost2 = np.ones(SLAB)
+    boost2[:BLOCK] = 0.0
+    ids2, sc2 = slab_topk_adv(
+        chunks, 0, SLAB, BLOCK, 100, BM25_K1, BM25_B, boost=boost2
+    )
+    assert sorted(ids2.tolist()) == sorted(docs.tolist())
+    in_zero = [d for d in docs if d < BLOCK]
+    got_zero = [int(d) for d, s in zip(ids2, sc2) if s == 0.0]
+    assert sorted(got_zero) == sorted(in_zero)
