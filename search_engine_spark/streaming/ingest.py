@@ -48,6 +48,95 @@ def streaming_windowed_counts(
     )
 
 
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start long, session_end long, "
+    "n_events long, session_value double"
+)
+SESSION_STATE_SCHEMA = "start long, last long, n long, value double"
+
+
+def streaming_sessionize(
+    events_stream: DataFrame,
+    gap_sec: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """CUSTOM STATEFUL operator via ``applyInPandasWithState``: gap-
+    based sessionization whose per-user open session survives ACROSS
+    micro-batches (the semantics the lag+cumsum batch twin
+    ``contract_ops.q_sessionize`` computes in one pass).
+
+    Per user_id the state is the open session (start, last, n, value):
+    each micro-batch's events extend it or close it on a > ``gap_sec``
+    silence (closed sessions are EMITTED immediately — append mode);
+    an event-time timeout at ``last + gap_sec`` past the watermark
+    closes and emits a session no further events will ever join, so
+    state size stays bounded by the number of currently-active users —
+    the property that matters at 100 TB of events (state is sharded by
+    the groupBy key; Spark checkpoints it per micro-batch).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    es = events_stream.withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).withWatermark("ts", watermark)
+
+    def fn(key, pdfs, state: GroupState):
+        user = int(key[0])
+        if state.hasTimedOut:
+            start, last, n, value = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user], "session_start": [start],
+                    "session_end": [last], "n_events": [n],
+                    "session_value": [value],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(["ts", "event_id"])
+        secs = (rows["ts"].astype("int64") // 1_000_000_000).tolist()
+        vals = rows["value"].astype(float).tolist()
+        if state.exists:
+            start, last, n, value = state.get
+        else:
+            start = last = None  # type: ignore[assignment]
+            n, value = 0, 0.0
+        closed = []
+        for ts_s, v in zip(secs, vals):
+            if last is not None and ts_s - last > gap_sec:
+                closed.append((user, start, last, n, value))
+                start, n, value = ts_s, 0, 0.0
+            if start is None:
+                start = ts_s
+            n += 1
+            value += v
+            last = ts_s
+        state.update((int(start), int(last), int(n), float(value)))
+        # close once the watermark passes the session's gap horizon;
+        # must be strictly ahead of the current watermark
+        state.setTimeoutTimestamp(
+            max((last + gap_sec) * 1000, state.getCurrentWatermarkMs() + 1)
+        )
+        yield pd.DataFrame(
+            closed,
+            columns=[
+                "user_id", "session_start", "session_end",
+                "n_events", "session_value",
+            ],
+        )
+
+    return es.groupBy("user_id").applyInPandasWithState(
+        fn,
+        SESSION_OUTPUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stream_index_documents(
     spark: SparkSession,
     docs_stream: DataFrame,

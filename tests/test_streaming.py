@@ -88,3 +88,68 @@ def test_stream_indexing_matches_batch_build(spark, tmp_path):
     assert len(set(shas)) == len(shas)
     rows = eng.search("java search", 5).collect()
     assert len(rows) == 5
+
+
+def test_stateful_sessionize_across_batches(spark, tmp_path):
+    """applyInPandasWithState sessionizer: the open session SURVIVES
+    micro-batch boundaries (file 2's first event continues user 1's
+    session from file 1), gaps close+emit sessions in-batch, and the
+    emitted (closed) sessions match the batch lag+cumsum semantics."""
+    import pandas as pd
+
+    from search_engine_spark.streaming.ingest import streaming_sessionize
+
+    t0 = 1_700_000_000  # epoch seconds, deterministic
+    mk = lambda eid, uid, ts, v: {
+        "event_id": eid, "user_id": uid,
+        "ts": pd.Timestamp(ts, unit="s", tz=None), "value": float(v),
+    }
+    # file 1: user 1 two events 10 min apart; user 2 one event
+    f1 = pd.DataFrame([
+        mk(1, 1, t0, 1.0),
+        mk(2, 1, t0 + 600, 2.0),
+        mk(3, 2, t0, 5.0),
+    ])
+    # file 2 (next micro-batch): user 1 event 20 min after f1's last
+    # (same session, continued ACROSS batches), then one 2h later
+    # (gap -> closes session 1); user 2 event 3h later (closes too)
+    f2 = pd.DataFrame([
+        mk(4, 1, t0 + 1800, 3.0),
+        mk(5, 1, t0 + 1800 + 7200, 7.0),
+        mk(6, 2, t0 + 10800, 9.0),
+    ])
+    src = tmp_path / "sess_events"
+    src.mkdir()
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    for i, f in enumerate([f1, f2]):
+        spark.createDataFrame(f, schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src / f"f{i}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out = streaming_sessionize(stream, gap_sec=1800)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n_events"], r["session_value"]
+        )
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    # closed sessions only (the t0+9000 / t0+10800 sessions stay open
+    # in state — no later watermark advance forces their timeout here)
+    want = {
+        (1, t0): (t0 + 1800, 3, 6.0),   # 3 events ACROSS both batches
+        (2, t0): (t0, 1, 5.0),
+    }
+    assert got == want
