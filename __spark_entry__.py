@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "freshness_decay": CO.q_freshness_decay,
             "events_windowed": CO.q_events_windowed,
             "sessionize": CO.q_sessionize,
+            "training_pipeline": CO.q_training_pipeline,
         }
     )
     return q
@@ -195,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
             "freshness_decay": OO.freshness_decay_sql(),
             "events_windowed": OO.events_windowed_sql(),
             "sessionize": OO.sessionize_sql(),
+            "training_pipeline": OO.training_pipeline_sql(),
         }
     )
     return o

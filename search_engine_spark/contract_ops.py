@@ -420,3 +420,40 @@ def q_sessionize(spark, sf_dir) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- Composed training-data pipeline ---------------------------------------
+
+PIPELINE_MIN_QUALITY = 0.32
+PIPELINE_LANG = "en"
+
+
+def q_training_pipeline(spark, sf_dir) -> DataFrame:
+    """The LLM-training-data admission pipeline as ONE composed query:
+    exact-dedup survivors -> language filter (lang_id == 'en') ->
+    quality gate (quality >= 0.32) -> per-doc token statistics.  Each
+    stage is an already-contract-verified operator (exact_dedup,
+    lang_id, quality_score, token_counts); this entry verifies their
+    COMPOSITION — the query a 100 TB corpus-curation job actually
+    runs, where every join is on the docid each stage already carries
+    (no extra shuffle beyond the stages' own)."""
+    from search_engine_spark import contract as C
+
+    ded = C.q_exact_dedup(spark, sf_dir).select("docid")
+    lang = q_lang_id(spark, sf_dir).select("docid", "lang_pred")
+    qual = C.q_quality_score(spark, sf_dir)
+    toks = q_token_counts(spark, sf_dir)
+    return (
+        ded.join(lang, "docid")
+        .join(qual, "docid")
+        .join(toks, "docid")
+        .filter(
+            (F.col("lang_pred") == PIPELINE_LANG)
+            & (F.col("quality") >= PIPELINE_MIN_QUALITY)
+        )
+        .select(
+            "docid", "lang_pred", "quality",
+            "ws_tokens", "alnum_tokens", "n_chars",
+        )
+        .orderBy("docid")
+    )

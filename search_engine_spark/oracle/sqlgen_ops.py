@@ -585,3 +585,31 @@ def sessionize_sql() -> str:
         "ROUND(SUM(session_value), 4) AS total_value FROM per "
         "GROUP BY user_id ORDER BY user_id"
     )
+
+
+def training_pipeline_sql() -> str:
+    """Composed training-data pipeline twin: subquery-composes the four
+    already-verified stage oracles (exact_dedup / lang_id /
+    quality_score / token_counts) with the same inner joins and the
+    same thresholds as contract_ops.q_training_pipeline — one source
+    of truth for each stage, so the composition cannot drift."""
+    from search_engine_spark.contract_ops import (
+        PIPELINE_LANG,
+        PIPELINE_MIN_QUALITY,
+    )
+    from search_engine_spark.oracle.sqlgen import (
+        exact_dedup_sql,
+        quality_score_sql,
+    )
+
+    return (
+        f"SELECT d.docid, l.lang_pred, q.quality, "
+        f"t.ws_tokens, t.alnum_tokens, t.n_chars "
+        f"FROM ({exact_dedup_sql()}) d "
+        f"JOIN ({lang_id_sql()}) l ON d.docid = l.docid "
+        f"JOIN ({quality_score_sql()}) q ON d.docid = q.docid "
+        f"JOIN ({token_counts_sql()}) t ON d.docid = t.docid "
+        f"WHERE l.lang_pred = '{PIPELINE_LANG}' "
+        f"AND q.quality >= {PIPELINE_MIN_QUALITY} "
+        f"ORDER BY d.docid"
+    )
