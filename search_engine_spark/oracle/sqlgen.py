@@ -377,8 +377,9 @@ def quality_score_sql() -> str:
         "CASE WHEN t.doclen = 0 THEN 0.0 "
         "ELSE list_aggregate(list_transform(t.toks, x -> len(x)), 'sum') * 1.0 / t.doclen END AS avg_wlen "
         "FROM tl t JOIN documents d ON d.doc_id = t.docid) "
-        "SELECT docid, ROUND("
+        "SELECT docid, floor(("
         "0.3 * least(nchars / 5000.0, 1.0) + 0.2 * least(words / 800.0, 1.0) "
-        "+ 0.3 * uniq_ratio + 0.2 * least(avg_wlen / 6.0, 1.0), 5) AS quality "
+        "+ 0.3 * uniq_ratio + 0.2 * least(avg_wlen / 6.0, 1.0)"
+        ") * 100000.0 + 0.5) / 100000.0 AS quality "
         "FROM m ORDER BY docid"
     )
