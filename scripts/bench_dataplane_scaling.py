@@ -28,14 +28,23 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_dataplane(cpus: int, docs: int) -> dict:
+def run_dataplane(cpus: int, docs: int, pin: bool = False) -> dict:
+    cmd = [
+        sys.executable,
+        os.path.join(REPO, "scripts", "bench_dataplane.py"),
+        "--docs", str(docs),
+        "--cpus", str(cpus),
+    ]
+    if pin:
+        # Pin the whole process tree (JVM + python workers) to exactly
+        # `cpus` physical CPUs so both legs of a pair experience the
+        # hypervisor's per-CPU steal the same way — a local[2] leg can
+        # no longer float across all 32 vCPUs chasing fresh burst
+        # credit while the local[8] leg saturates the sustained
+        # envelope (VERDICT r3 next-item 5).
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [
-            sys.executable,
-            os.path.join(REPO, "scripts", "bench_dataplane.py"),
-            "--docs", str(docs),
-            "--cpus", str(cpus),
-        ],
+        cmd,
         capture_output=True,
         text=True,
         cwd=REPO,
@@ -56,6 +65,8 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=600000)
     ap.add_argument("--levels", type=int, nargs=2, default=[2, 8])
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--pin", action="store_true",
+                    help="taskset each leg to exactly its core count")
     args = ap.parse_args()
     lo, hi = args.levels
     factor = hi / lo
@@ -66,8 +77,9 @@ def main() -> None:
     with open(raw_path, "a") as raw:
         for i in range(args.repeats):
             for level in (lo, hi):
-                r = run_dataplane(level, args.docs)
+                r = run_dataplane(level, args.docs, pin=args.pin)
                 r["extras"]["repeat"] = i
+                r["extras"]["pinned"] = args.pin
                 runs[level].append(r)
                 raw.write(json.dumps(r) + "\n")
                 raw.flush()
@@ -103,6 +115,7 @@ def main() -> None:
             "all_hi": [r["value"] for r in runs[hi]],
             "adjacent_pair_effs": pair_effs,
             "best_pair_eff": max(pair_effs),
+            "pinned": args.pin,
             "date": str(datetime.date.today()),
         },
     }

@@ -35,6 +35,28 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def round5_col(col, digits: int = 5):
+    """HALF_UP (away from zero) rounding via the shared float formula
+    ``sign(x) * floor(|x| * 1e5 + 0.5) / 1e5`` — the SAME expression
+    on the Spark, DuckDB (oracle/sqlgen_ops._round5) and pure-Python
+    (ann_index._round_half_up) tiers, so boundary doubles cannot
+    diverge between them (ADVICE r3 #2; same divergence class as the
+    quality_score fix b95a41a: F.round rounds the decimal expansion,
+    DuckDB/Python round the float product)."""
+    s = float(10 ** digits)
+    c = F.col(col) if isinstance(col, str) else col
+    return F.signum(c) * F.floor(F.abs(c) * s + F.lit(0.5)) / F.lit(s)
+
+
+def _first_vec(emb: DataFrame, vec_id: int):
+    """The query vector, or KeyError if absent — matching the local
+    serving twin ``AnnIndex._vec`` (ADVICE r3 #3)."""
+    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").first()
+    if row is None:
+        raise KeyError(f"vec_id {vec_id} not in index")
+    return row["embedding"]
+
+
 def dot_col(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -82,7 +104,7 @@ def brute_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
         .limit(k)
         .select(
             F.col("vec_id").cast("long").alias("vec_id"),
-            F.round("cosine", 5).alias("cosine"),
+            round5_col("cosine").alias("cosine"),
         )
     )
 
@@ -102,7 +124,7 @@ def ann_sign_lsh(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFram
         .limit(k)
         .select(
             F.col("vec_id").cast("long").alias("vec_id"),
-            F.round("cosine", 5).alias("cosine"),
+            round5_col("cosine").alias("cosine"),
         )
     )
 
@@ -136,11 +158,7 @@ def ann_sign_lsh_indexed(
     no per-query re-hash, no nested-loop join."""
     from search_engine_spark.ops.params import ANN_SIGN_DIMS as _DIMS
 
-    qe = (
-        emb.filter(F.col("vec_id") == query_vec_id)
-        .select("embedding")
-        .first()["embedding"]
-    )
+    qe = _first_vec(emb, query_vec_id)
     qb = sum(1 << j for j in range(_DIMS) if float(qe[j]) > 0)
     cand_ids = bucket_table.filter(
         (F.col("bucket") == qb) & (F.col("vec_id") != query_vec_id)
@@ -155,7 +173,7 @@ def ann_sign_lsh_indexed(
         .limit(k)
         .select(
             F.col("vec_id").cast("long").alias("vec_id"),
-            F.round("cosine", 5).alias("cosine"),
+            round5_col("cosine").alias("cosine"),
         )
     )
 
@@ -222,7 +240,7 @@ def ann_ivf(
         .limit(k)
         .select(
             F.col("vec_id").cast("long").alias("vec_id"),
-            F.round("cosine", 5).alias("cosine"),
+            round5_col("cosine").alias("cosine"),
         )
     )
 
@@ -301,7 +319,7 @@ def ann_rand_lsh(
         .limit(k)
         .select(
             F.col("vec_id").cast("long").alias("vec_id"),
-            F.round("cosine", 5).alias("cosine"),
+            round5_col("cosine").alias("cosine"),
         )
     )
 
@@ -360,11 +378,7 @@ def ann_rand_lsh_indexed(
     No per-query re-hash of the collection, no nested-loop join
     (pinned by a plan-audit test); the candidate set — and therefore
     the recall-gated result — is IDENTICAL to ``ann_rand_lsh``."""
-    qe = (
-        emb.filter(F.col("vec_id") == query_vec_id)
-        .select("embedding")
-        .first()["embedding"]
-    )
+    qe = _first_vec(emb, query_vec_id)
     qb = query_buckets_py(qe)
     cand_ids = (
         bucket_table.filter(F.col("bucket").isin(qb))
@@ -385,7 +399,7 @@ def ann_rand_lsh_indexed(
         .limit(k)
         .select(
             F.col("vec_id").cast("long").alias("vec_id"),
-            F.round("cosine", 5).alias("cosine"),
+            round5_col("cosine").alias("cosine"),
         )
     )
 
@@ -488,7 +502,7 @@ def ann_ivf_trained(
         .limit(k)
         .select(
             F.col("vec_id").cast("long").alias("vec_id"),
-            F.round("cosine", 5).alias("cosine"),
+            round5_col("cosine").alias("cosine"),
         )
     )
 
@@ -514,11 +528,7 @@ def ann_ivf_indexed(
     from search_engine_spark.ops.params import IVF_TRAINED_PROBES
 
     probes = probes or IVF_TRAINED_PROBES
-    qe = (
-        emb.filter(F.col("vec_id") == query_vec_id)
-        .select("embedding")
-        .first()["embedding"]
-    )
+    qe = _first_vec(emb, query_vec_id)
     qv = [float(x) for x in qe]
     dists = []
     for cid, ce in cent_rows:
@@ -545,7 +555,7 @@ def ann_ivf_indexed(
         .limit(k)
         .select(
             F.col("vec_id").cast("long").alias("vec_id"),
-            F.round("cosine", 5).alias("cosine"),
+            round5_col("cosine").alias("cosine"),
         )
     )
 
@@ -606,7 +616,7 @@ def doc_cosine_neardup(
         .select(
             F.col("docid_a").cast("long").alias("docid_a"),
             F.col("docid_b").cast("long").alias("docid_b"),
-            F.round("cosine", 5).alias("cosine"),
+            round5_col("cosine").alias("cosine"),
         )
     )
 
@@ -629,6 +639,6 @@ def cosine_neardup_pairs(
         .select(
             F.col("vec_a").cast("long").alias("vec_a"),
             F.col("vec_b").cast("long").alias("vec_b"),
-            F.round("cosine", 5).alias("cosine"),
+            round5_col("cosine").alias("cosine"),
         )
     )

@@ -198,6 +198,15 @@ def fingerprint_sql() -> str:
 
 # --- Embeddings ------------------------------------------------------------
 
+def _round5_expr(x: str) -> str:
+    """HALF_UP (away from zero) via the shared float formula
+    ``sign(x) * floor(|x| * 1e5 + 0.5) / 1e5`` — the SAME expression
+    the Spark tier (ops/similarity.round5_col) and the pure-Python
+    serving twin (ann_index._round_half_up) use, so boundary doubles
+    cannot diverge between tiers (the quality_score trap, b95a41a)."""
+    return f"(sign({x}) * floor(abs({x}) * 1e5 + 0.5) / 1e5)"
+
+
 def _cosine_expr(a: str, b: str) -> str:
     """Index-ordered dot/norms, identical op order to the Spark side."""
     return (
@@ -214,7 +223,7 @@ def cosine_topk_sql(k: int = 10) -> str:
     return (
         "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
         "SELECT CAST(e.vec_id AS BIGINT) AS vec_id, "
-        f"ROUND({_cosine_expr('e.embedding', 'q.qe')}, 5) AS cosine "
+        f"{_round5_expr(_cosine_expr('e.embedding', 'q.qe'))} AS cosine "
         "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0 "
         f"ORDER BY {_cosine_expr('e.embedding', 'q.qe')} DESC, e.vec_id "
         f"LIMIT {k}"
@@ -236,7 +245,7 @@ def ann_sign_lsh_sql(k: int = 10) -> str:
         "q AS (SELECT embedding AS qe, bucket AS qbucket FROM be "
         "WHERE vec_id = 0) "
         "SELECT CAST(e.vec_id AS BIGINT) AS vec_id, "
-        f"ROUND({_cosine_expr('e.embedding', 'q.qe')}, 5) AS cosine "
+        f"{_round5_expr(_cosine_expr('e.embedding', 'q.qe'))} AS cosine "
         "FROM be e CROSS JOIN q WHERE e.bucket = q.qbucket AND e.vec_id <> 0 "
         f"ORDER BY {_cosine_expr('e.embedding', 'q.qe')} DESC, e.vec_id "
         f"LIMIT {k}"
@@ -264,7 +273,7 @@ def ann_ivf_sql(k: int = 10) -> str:
         "probe AS (SELECT c.cid FROM cent c CROSS JOIN q "
         f"ORDER BY {_l2_expr('q.qe', 'c.ce')}, c.cid LIMIT {IVF_PROBES}) "
         "SELECT CAST(a.vec_id AS BIGINT) AS vec_id, "
-        f"ROUND({_cosine_expr('a.embedding', 'q.qe')}, 5) AS cosine "
+        f"{_round5_expr(_cosine_expr('a.embedding', 'q.qe'))} AS cosine "
         "FROM assigned a JOIN probe p ON a.cid = p.cid CROSS JOIN q "
         "WHERE a.vec_id <> 0 "
         f"ORDER BY {_cosine_expr('a.embedding', 'q.qe')} DESC, a.vec_id "
@@ -318,7 +327,7 @@ def cosine_neardup_sql() -> str:
         "JOIN vec b ON b.docid = c.docid_b AND b.dim = a.dim "
         "GROUP BY c.docid_a, c.docid_b) "
         "SELECT d.docid_a, d.docid_b, "
-        "ROUND(d.dot / (na.nrm * nb.nrm), 5) AS cosine "
+        f"{_round5_expr('d.dot / (na.nrm * nb.nrm)')} AS cosine "
         "FROM dots d JOIN norms na ON na.docid = d.docid_a "
         "JOIN norms nb ON nb.docid = d.docid_b "
         f"WHERE d.dot / (na.nrm * nb.nrm) >= {DOC_COSINE_DUP_THRESHOLD} "

@@ -72,19 +72,31 @@ def advanced_plan(query: str) -> list[tuple[int, str, str, float]]:
     seen = set(orig)
     for t in orig:
         for s in SYNONYMS.get(t, ()):
+            # ONE clause per synonym (ES multi_match is per synonym
+            # string, not per token): a multi-word synonym's tokens
+            # share a clause and combine by max-over-fields within it.
+            # All current SYNONYMS values are single tokens, so this
+            # matches the historical per-token grouping bit-for-bit.
+            added = False
             for st in py_tokenize(s) or [s]:
                 if st not in seen:
                     seen.add(st)
                     rows.append((clause, FLD_CONTENT, st, CONTENT_SYNONYM_BOOST))
                     rows.append((clause, FLD_TITLE, st, TITLE_SYNONYM_BOOST))
-                    clause += 1
+                    added = True
+            if added:
+                clause += 1
     if classify_intent(query) == TUTORIAL:
         for t in TUTORIAL_BOOST_TERMS:
             rows.append((clause, FLD_CONTENT, t, 1.0))
         clause += 1
     for word in detect_entities(query):
+        # likewise one clause per entity WORD (multi-token words share)
+        added = False
         for t in py_tokenize(word):
             rows.append((clause, FLD_CONTENT, t, ENTITY_BOOST))
+            added = True
+        if added:
             clause += 1
     return rows
 

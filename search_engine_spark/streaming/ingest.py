@@ -52,7 +52,12 @@ SESSION_OUTPUT_SCHEMA = (
     "user_id long, session_start long, session_end long, "
     "n_events long, session_value double"
 )
-SESSION_STATE_SCHEMA = "start long, last long, n long, value double"
+# state = ALL not-yet-final sessions for the user, as parallel arrays
+# of disjoint gap-separated runs sorted by start (usually length 1)
+SESSION_STATE_SCHEMA = (
+    "starts array<long>, lasts array<long>, "
+    "ns array<long>, vals array<double>"
+)
 
 
 def streaming_sessionize(
@@ -61,18 +66,26 @@ def streaming_sessionize(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """CUSTOM STATEFUL operator via ``applyInPandasWithState``: gap-
-    based sessionization whose per-user open session survives ACROSS
-    micro-batches (the semantics the lag+cumsum batch twin
-    ``contract_ops.q_sessionize`` computes in one pass).
+    based sessionization with EXACT batch parity (the lag+cumsum twin
+    ``contract_ops.q_sessionize``) for every event the watermark
+    admits, including out-of-order arrival across micro-batches.
 
-    Per user_id the state is the open session (start, last, n, value):
-    each micro-batch's events extend it or close it on a > ``gap_sec``
-    silence (closed sessions are EMITTED immediately — append mode);
-    an event-time timeout at ``last + gap_sec`` past the watermark
-    closes and emits a session no further events will ever join, so
-    state size stays bounded by the number of currently-active users —
-    the property that matters at 100 TB of events (state is sharded by
-    the groupBy key; Spark checkpoints it per micro-batch).
+    Per user_id the state is the list of sessions that are not yet
+    final — a session is final only once the watermark passes
+    ``last + gap_sec``, because until then a late (but in-watermark)
+    event could still extend it, prepend to it, or bridge it with a
+    neighbouring run.  Each micro-batch merges its events into that
+    list with one sorted linear pass over "atoms" (existing runs +
+    new single-event runs): consecutive atoms whose gap is <=
+    ``gap_sec`` coalesce, which reproduces the batch twin's gap split
+    of the fully sorted event sequence regardless of arrival order.
+    Sessions whose horizon the watermark has passed are emitted
+    (append mode) and dropped from state; an event-time timeout at
+    the earliest kept horizon guarantees emission when no further
+    events arrive.  State stays bounded by the number of sessions
+    inside one watermark window per active user — the property that
+    matters at 100 TB of events (state is sharded by the groupBy key;
+    Spark checkpoints it per micro-batch).
     """
     import pandas as pd
 
@@ -82,51 +95,87 @@ def streaming_sessionize(
         "ts", F.col("ts").cast("timestamp")
     ).withWatermark("ts", watermark)
 
-    def fn(key, pdfs, state: GroupState):
-        user = int(key[0])
-        if state.hasTimedOut:
-            start, last, n, value = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [user], "session_start": [start],
-                    "session_end": [last], "n_events": [n],
-                    "session_value": [value],
-                }
-            )
-            return
-        rows = pd.concat(list(pdfs))
-        rows = rows.sort_values(["ts", "event_id"])
-        secs = (rows["ts"].astype("int64") // 1_000_000_000).tolist()
-        vals = rows["value"].astype(float).tolist()
-        if state.exists:
-            start, last, n, value = state.get
-        else:
-            start = last = None  # type: ignore[assignment]
-            n, value = 0, 0.0
-        closed = []
-        for ts_s, v in zip(secs, vals):
-            if last is not None and ts_s - last > gap_sec:
-                closed.append((user, start, last, n, value))
-                start, n, value = ts_s, 0, 0.0
-            if start is None:
-                start = ts_s
-            n += 1
-            value += v
-            last = ts_s
-        state.update((int(start), int(last), int(n), float(value)))
-        # close once the watermark passes the session's gap horizon;
-        # must be strictly ahead of the current watermark
-        state.setTimeoutTimestamp(
-            max((last + gap_sec) * 1000, state.getCurrentWatermarkMs() + 1)
-        )
-        yield pd.DataFrame(
-            closed,
+    def split_final(sessions, wm_ms):
+        """Partition runs into (final, kept) by the watermark horizon."""
+        final = [s for s in sessions if (s[1] + gap_sec) * 1000 <= wm_ms]
+        kept = [s for s in sessions if (s[1] + gap_sec) * 1000 > wm_ms]
+        return final, kept
+
+    def emit(user, sessions):
+        return pd.DataFrame(
+            [(user, s[0], s[1], s[2], s[3]) for s in sessions],
             columns=[
                 "user_id", "session_start", "session_end",
                 "n_events", "session_value",
             ],
         )
+
+    def fn(key, pdfs, state: GroupState):
+        user = int(key[0])
+        wm_ms = state.getCurrentWatermarkMs()
+        if state.hasTimedOut:
+            starts, lasts, ns, vals = state.get
+            sessions = list(zip(starts, lasts, ns, vals))
+            final, kept = split_final(sessions, wm_ms)
+            if kept:
+                state.update(
+                    (
+                        [int(s[0]) for s in kept],
+                        [int(s[1]) for s in kept],
+                        [int(s[2]) for s in kept],
+                        [float(s[3]) for s in kept],
+                    )
+                )
+                state.setTimeoutTimestamp(
+                    max(
+                        min((s[1] + gap_sec) * 1000 for s in kept) - 1,
+                        wm_ms + 1,
+                    )
+                )
+            else:
+                state.remove()
+            yield emit(user, final)
+            return
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(["ts", "event_id"])
+        secs = (rows["ts"].astype("int64") // 1_000_000_000).tolist()
+        vals_in = rows["value"].astype(float).tolist()
+        atoms = [(ts_s, ts_s, 1, float(v)) for ts_s, v in zip(secs, vals_in)]
+        if state.exists:
+            starts, lasts, ns, vals = state.get
+            atoms.extend(zip(starts, lasts, ns, vals))
+        # one linear coalesce over atoms sorted by (start, last):
+        # identical to the batch twin's gap split of the sorted stream
+        atoms.sort(key=lambda a: (a[0], a[1]))
+        sessions = []
+        for a in atoms:
+            if sessions and a[0] - sessions[-1][1] <= gap_sec:
+                s = sessions[-1]
+                sessions[-1] = (
+                    s[0], max(s[1], a[1]), s[2] + a[2], s[3] + a[3]
+                )
+            else:
+                sessions.append(a)
+        final, kept = split_final(sessions, wm_ms)
+        if kept:
+            state.update(
+                (
+                    [int(s[0]) for s in kept],
+                    [int(s[1]) for s in kept],
+                    [int(s[2]) for s in kept],
+                    [float(s[3]) for s in kept],
+                )
+            )
+            # fire once the watermark reaches the EARLIEST kept horizon
+            # (Spark fires on timeout < watermark, strictly — hence the
+            # -1 ms); must be strictly ahead of the current watermark
+            state.setTimeoutTimestamp(
+                max(min((s[1] + gap_sec) * 1000 for s in kept) - 1,
+                    wm_ms + 1)
+            )
+        else:
+            state.remove()
+        yield emit(user, final)
 
     return es.groupBy("user_id").applyInPandasWithState(
         fn,

@@ -105,6 +105,45 @@ def test_advanced_plan_structure():
     assert ent and all(f == "c" for _cl, f, _t, _w in ent)
 
 
+def test_year_entity_is_inert():
+    """VERDICT r3 #7 pin: YEAR entities are *detected* (faithful to
+    the reference EntityDetector) but contribute no scoring clause —
+    the frozen tokenizer drops pure digits, so years cannot appear in
+    the index.  'python 2024' therefore ranks IDENTICALLY to 'python'
+    (plan equality ⇒ rank identity for every downstream scorer)."""
+    assert detect_entities("python 2024")["2024"] == YEAR
+    assert advanced_plan("python 2024") == advanced_plan("python")
+    assert advanced_plan("java merge 2015") == advanced_plan("java merge")
+
+
+def test_synonyms_single_token_and_multiword_clause_grouping():
+    """ADVICE r3 #4 pin: (a) every current SYNONYMS value tokenizes to
+    a single term, so the one-clause-per-synonym fix is bit-identical
+    to the historical per-token grouping; (b) a multi-word synonym's
+    tokens SHARE one clause (ES multi_match is per synonym string)."""
+    from unittest import mock
+
+    from search_engine_spark.query import advanced as adv_mod
+    from search_engine_spark.query.expansion import SYNONYMS
+    from search_engine_spark.tokenizer import py_tokenize
+
+    for word, syns in SYNONYMS.items():
+        for s in syns:
+            toks = py_tokenize(s) or [s]
+            assert len(toks) == 1, (word, s, toks)
+
+    fake = dict(SYNONYMS)
+    fake["merge"] = ("combine sorted runs",) + tuple(fake.get("merge", ()))
+    with mock.patch.object(adv_mod, "SYNONYMS", fake):
+        plan = adv_mod.advanced_plan("merge")
+    by_term = {t: cl for cl, f, t, _w in plan if f == "c" and cl > 0}
+    assert by_term["combine"] == by_term["sorted"] == by_term["runs"]
+    # and distinct synonyms still get distinct clauses (real map)
+    real = advanced_plan("search")
+    syn_clauses = {cl for cl, f, t, _w in real if cl > 0 and f == "c"}
+    assert len(syn_clauses) >= 3  # find / lookup / query
+
+
 # --- correctness vs the brute oracle ---
 
 def test_search_advanced_matches_oracle(engine, oracle):

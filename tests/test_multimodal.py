@@ -23,13 +23,14 @@ def test_media_schema_and_stats(media):
     assert sum(stats.values()) == 120
 
 
-def test_decode_compressed_still_raises():
-    # entropy codecs stay behind the documented stub (no pillow here)
-    for magic in (b"\x89PNG\r\n", b"\xff\xd8\xff\xe0", b"GIF89a"):
+def test_decode_entropy_codecs_still_raise():
+    # JPEG/GIF/WebP entropy codecs stay behind the documented stub
+    # (no pillow here); PNG no longer does — zlib is stdlib.
+    for magic in (b"\xff\xd8\xff\xe0", b"GIF89a", b"RIFFxxxxWEBP"):
         with pytest.raises(NotImplementedError):
             mm.decode_image(magic + b"\x00" * 32)
     with pytest.raises(NotImplementedError):
-        mm.resize_image(b"\x89PNG" + b"\x00" * 32, 64, 64)
+        mm.resize_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32, 64, 64)
 
 
 def _gradient(h, w):
@@ -87,6 +88,92 @@ def test_bmp_decode_24_and_32_bit_both_orientations():
         mm.decode_image(_make_bmp(img)[:30] + b"\x01" + _make_bmp(img)[31:])
 
 
+def test_png_roundtrip_all_filters_and_color_types():
+    """encode_png writes every scanline with one chosen filter, so
+    each reconstruction path of _decode_png (None/Sub/Up/Average/
+    Paeth) is exercised against ground truth, for gray / gray+alpha /
+    RGB / RGBA."""
+    rgb = _gradient(7, 5)
+    imgs = {
+        1: rgb[:, :, 0],                                   # gray
+        2: np.dstack([rgb[:, :, 0], rgb[:, :, 1]]),        # gray+alpha
+        3: rgb,                                            # RGB
+        4: np.dstack([rgb, (rgb[:, :, 0] ^ 0xFF)]),        # RGBA
+    }
+    for ch, img in imgs.items():
+        for ft in range(5):
+            got = mm.decode_image(mm.encode_png(img, filter_type=ft))
+            assert np.array_equal(got, img), (ch, ft)
+
+
+def test_png_palette_decode():
+    import struct
+    import zlib
+
+    # 4x3 indexed image over a 4-color palette, filter 0 rows
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 11, 13]], np.uint8
+    )
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0], [1, 1, 3, 0]], np.uint8)
+    lines = b"".join(b"\x00" + idx[y].tobytes() for y in range(3))
+
+    def chunk(typ, payload):
+        return (
+            len(payload).to_bytes(4, "big") + typ + payload
+            + (zlib.crc32(typ + payload) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    buf = (
+        mm.PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(lines))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(mm.decode_image(buf), pal[idx])
+
+
+def test_png_out_of_scope_variants_raise():
+    import struct
+    import zlib
+
+    img = _gradient(3, 3)
+    good = mm.encode_png(img)
+
+    def rebuild(depth=8, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 3, 3, depth, 2, 0, 0, interlace)
+        return (
+            mm.PNG_SIG
+            + len(ihdr).to_bytes(4, "big") + b"IHDR" + ihdr
+            + (zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF).to_bytes(4, "big")
+            + good[8 + 25:]
+        )
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(rebuild(depth=16))
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(rebuild(interlace=1))
+    with pytest.raises(ValueError):  # truncated IDAT -> size mismatch
+        mm.decode_image(
+            mm.encode_png(img[:2]).replace(
+                struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0),
+                struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 0),
+            )
+        )
+
+
+def test_png_resize_drops_alpha():
+    rgb = _gradient(4, 4)
+    rgba = np.dstack([rgb, np.full((4, 4), 9, np.uint8)])
+    out = mm.decode_image(mm.resize_image(mm.encode_png(rgba), 2, 2))
+    assert out.shape == (2, 2, 3)
+    assert np.array_equal(out, mm.resize_nearest(rgb, 2, 2))
+    ga = np.dstack([rgb[:, :, 0], rgb[:, :, 1]])
+    out2 = mm.decode_image(mm.resize_image(mm.encode_png(ga), 2, 2))
+    assert out2.shape == (2, 2)
+    assert np.array_equal(out2, mm.resize_nearest(rgb[:, :, 0], 2, 2))
+
+
 def test_resize_nearest_exact():
     img = np.array([[[0, 0, 0], [10, 10, 10]],
                     [[20, 20, 20], [30, 30, 30]]], dtype=np.uint8)
@@ -121,16 +208,51 @@ def test_decode_features_quarantines_bad_rows(spark):
 
     pdf = pd.DataFrame(
         {
-            "media_id": [1, 2],
-            "media_type": ["image/x-ppm", "image/png"],
-            "media": [mm.encode_ppm(_gradient(3, 3)), b"\x89PNG\r\n junk"],
-            "width": [3, 0], "height": [3, 0], "n_bytes": [0, 0],
+            "media_id": [1, 2, 3],
+            "media_type": ["image/x-ppm", "image/png", "image/png"],
+            "media": [
+                mm.encode_ppm(_gradient(3, 3)),
+                b"\x89PNG\r\n junk",           # bad signature
+                mm.PNG_SIG + b"\x00\x00\x00\x0dIHDR" + b"\x07" * 21
+                + b"\x00\x00\x00\x04IDAT junk",  # valid sig, rotten body
+            ],
+            "width": [3, 0, 0], "height": [3, 0, 0], "n_bytes": [0, 0, 0],
         }
     )
     media = spark.createDataFrame(pdf, schema=mm.MEDIA_SCHEMA)
     rows = {r["media_id"]: r for r in mm.decode_features(media).collect()}
-    assert rows[1]["ok"] and not rows[2]["ok"]
+    assert rows[1]["ok"] and not rows[2]["ok"] and not rows[3]["ok"]
     assert rows[2]["width"] is None
+
+
+def test_decode_features_png_spark_end_to_end(spark):
+    import pandas as pd
+
+    imgs = {i: _gradient(4 + i % 3, 5 + i % 4) for i in range(12)}
+    pdf = pd.DataFrame(
+        {
+            "media_id": list(imgs),
+            "media_type": ["image/png"] * len(imgs),
+            "media": [
+                mm.encode_png(img, filter_type=i % 5)
+                for i, img in imgs.items()
+            ],
+            "width": [img.shape[1] for img in imgs.values()],
+            "height": [img.shape[0] for img in imgs.values()],
+            "n_bytes": [0] * len(imgs),
+        }
+    )
+    media = spark.createDataFrame(pdf, schema=mm.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in mm.decode_features(media).collect()}
+    assert len(feats) == len(imgs) and all(f["ok"] for f in feats.values())
+    for i, img in imgs.items():
+        f = feats[i]
+        assert (f["width"], f["height"], f["channels"]) == (
+            img.shape[1], img.shape[0], 3,
+        )
+        want = (img[:, :, 0] * 0.299 + img[:, :, 1] * 0.587
+                + img[:, :, 2] * 0.114).mean()
+        assert f["mean_luma"] == pytest.approx(float(want), rel=1e-9)
 
 
 def test_frame_sampling_fanout(media):
