@@ -85,6 +85,15 @@ FULL_QUERIES = {
 }
 
 
+# Round-4 contract queries for the previously pytest-only operators:
+# W2 pagination (page 2 of a multi-term query with >20 matches), S8
+# result cache (served THROUGH a SearchCache hit), and the X9/W6/W5
+# ML blend + diversification path.
+PAGE_QUERY = "key order merge scan"
+CACHE_QUERY = "group data row column"
+RANKED_QUERY = "key order merge scan"
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
     return C.q_bm25(spark, "/root/testdata/sf0.001", "key order merge scan", 10)
@@ -113,6 +122,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[name] = partial(C.q_highlight, query=text, limit=100)
     for name, text in FULL_QUERIES.items():
         q[name] = partial(C.q_bm25_full, query=text, k=10)
+    # round 4: pagination (W2), result cache (S8), ML blend (X9/W6/W5)
+    q["bm25_page2"] = partial(
+        C.q_bm25_page, query=PAGE_QUERY, page=1, size=10
+    )
+    q["cached_search"] = partial(C.q_cached_search, query=CACHE_QUERY, k=10)
+    q["ranked_blend"] = partial(C.q_ranked_blend, query=RANKED_QUERY, k=10)
     q.update(
         {
             "simhash_fp": CO.q_simhash_fp,
@@ -139,7 +154,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "freshness_decay": CO.q_freshness_decay,
             "events_windowed": CO.q_events_windowed,
             "sessionize": CO.q_sessionize,
+            "sessionize_stream": CO.q_sessionize_stream,
             "training_pipeline": CO.q_training_pipeline,
+            "simhash_similarity": CO.q_simhash_similarity,
+            "media_features": CO.q_media_features,
         }
     )
     return q
@@ -168,6 +186,11 @@ def oracle_sql() -> dict[str, str]:
         o[name] = O.highlight_sql(text, 100)
     for name, text in FULL_QUERIES.items():
         o[name] = O.bm25_full_sql(text, 10)
+    o["bm25_page2"] = O.bm25_page_sql(PAGE_QUERY, page=1, size=10)
+    # the cache returns the engine result verbatim, so its oracle IS
+    # the plain dedup BM25 twin — any cache-layer mutation shows up
+    o["cached_search"] = O.bm25_dedup_topk_sql(CACHE_QUERY, 10)
+    o["ranked_blend"] = O.ranked_blend_sql(RANKED_QUERY, 10)
     o.update(
         {
             "simhash_fp": OO.simhash_fp_sql(),
@@ -196,7 +219,10 @@ def oracle_sql() -> dict[str, str]:
             "freshness_decay": OO.freshness_decay_sql(),
             "events_windowed": OO.events_windowed_sql(),
             "sessionize": OO.sessionize_sql(),
+            "sessionize_stream": OO.sessionize_stream_sql(),
             "training_pipeline": OO.training_pipeline_sql(),
+            "simhash_similarity": OO.simhash_similarity_sql(),
+            "media_features": OO.media_features_sql(),
         }
     )
     return o

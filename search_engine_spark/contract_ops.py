@@ -457,3 +457,97 @@ def q_training_pipeline(spark, sf_dir) -> DataFrame:
         )
         .orderBy("docid")
     )
+
+
+# --- Round-4 additions: similarity %, media byte features, streaming twin --
+
+def q_simhash_similarity(spark, sf_dir) -> DataFrame:
+    """X4 similarity % ((1 - hamming/64) * 100, SimHashService.java:
+    89-92) over the contract-gated near-dup pairs.  hamming/64 and
+    *100 are exact binary-fraction operations on integer inputs, so
+    the column is bit-identical in both dialects without rounding."""
+    nd = q_simhash_neardup(spark, sf_dir)
+    return nd.withColumn(
+        "similarity_pct", simhash.similarity_pct(F.col("hamming"))
+    )
+
+
+def q_media_features(spark, sf_dir) -> DataFrame:
+    """Multimodal byte features through the REAL Arrow mapInPandas
+    operator (ops/multimodal.extract_features) over media synthesized
+    from the documents table (payload = UTF-8 bytes of the text; the
+    sf corpora are verified pure-ASCII, which is what lets the DuckDB
+    twin recompute the bytes as per-char ascii codes).  histogram16 is
+    emitted as a comma-joined string so the value hash is
+    representation-stable across both engines.  byte_entropy stays
+    pytest-verified (test_feature_extraction_matches_numpy): its
+    16-term float sum is pairwise in numpy and sequential in SQL, an
+    order difference the contract's bit-exact compare must not depend
+    on."""
+    from search_engine_spark.ops.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("docid"),
+        F.col("text").alias("content"),
+    )
+    feats = extract_features(synthesize_media(d, id_col="docid",
+                                              text_col="content"))
+    return (
+        feats.select(
+            "media_id",
+            "media_type",
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+            "byte_mean",
+            F.array_join(
+                F.transform("histogram16", lambda x: x.cast("string")), ","
+            ).alias("h16"),
+        )
+        .orderBy("media_id")
+    )
+
+
+def q_sessionize_stream(spark, sf_dir) -> DataFrame:
+    """§2.8 stateful-streaming parity, contract-visible: the events
+    table is replayed through the REAL ``applyInPandasWithState``
+    sessionizer (streaming/ingest.streaming_sessionize, availableNow
+    trigger, memory sink) and the emitted sessions are compared to the
+    batch lag+cumsum split computed by DuckDB.  The stream can only
+    ever emit sessions the final watermark (max event time - 2h) has
+    sealed (session_end + gap <= watermark), so the oracle applies the
+    identical seal predicate — the equality IS the stateful-vs-batch
+    parity proof on the driver's own fixture."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from search_engine_spark.streaming.ingest import streaming_sessionize
+
+    src = tempfile.mkdtemp(prefix="sess_stream_contract_")
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src, "part-00000.parquet"),
+    )
+    schema = load(spark, sf_dir, "events").schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_sessionize(stream, gap_sec=1800, watermark="2 hours")
+    sink = "sessionize_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return (
+        spark.table(sink)
+        .select(
+            "user_id", "session_start", "session_end", "n_events",
+            F.round("session_value", 4).alias("session_value"),
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -383,3 +383,44 @@ def quality_score_sql() -> str:
         ") * 100000.0 + 0.5) / 100000.0 AS quality "
         "FROM m ORDER BY docid"
     )
+
+
+# --- Round-4 additions: pagination / ranked-blend twins ---------------------
+
+def bm25_page_sql(query: str, page: int = 1, size: int = 10) -> str:
+    """W2 pagination twin: row_number() over the dedup BM25 top-k's
+    (rounded score DESC, docid) total order, windowed to page
+    ``page`` — LIMIT/OFFSET semantics made explicit so ties at the
+    page edge resolve identically in both dialects."""
+    inner = bm25_dedup_topk_sql(query, (page + 1) * size)
+    return (
+        f"SELECT docid, score, CAST(rn AS INT) AS rank FROM ("
+        f"SELECT docid, score, row_number() OVER "
+        f"(ORDER BY score DESC, docid) AS rn FROM ({inner})) "
+        f"WHERE rn > {page * size} ORDER BY rn"
+    )
+
+
+def ranked_blend_sql(query: str, k: int = 10, candidates: int = 40) -> str:
+    """Twin of contract.q_ranked_blend: BM25 candidates -> min-max
+    bm25norm -> quality -> 0.35/0.20 blend clamped to [0,1] (pagerank/
+    ctr/freshness weights enter at 0) -> max-2-per-source -> top-k.
+    ml_score rounds through the shared float formula."""
+    cand = bm25_dedup_topk_sql(query, candidates)
+    qual = quality_score_sql().replace("ORDER BY docid", "")
+    blend = "(0.35 * bm25norm + 0.2 * quality)"
+    clamped = f"least(greatest({blend}, 0.0), 1.0)"
+    return (
+        f"WITH cand AS ({cand}), qual AS ({qual}), "
+        "n AS (SELECT c.docid, c.score, q.quality, "
+        "CASE WHEN max(c.score) OVER () > 0 "
+        "THEN c.score / max(c.score) OVER () ELSE 0.0 END AS bm25norm "
+        "FROM cand c JOIN qual q ON q.docid = c.docid), "
+        "m AS (SELECT n.docid, d.source, n.score, n.quality, "
+        f"floor({clamped} * 100000.0 + 0.5) / 100000.0 AS ml_score "
+        "FROM n JOIN documents d ON d.doc_id = n.docid) "
+        "SELECT docid, source, score, quality, ml_score FROM m "
+        "QUALIFY row_number() OVER (PARTITION BY source "
+        "ORDER BY ml_score DESC, docid) <= 2 "
+        f"ORDER BY ml_score DESC, docid LIMIT {k}"
+    )

@@ -622,3 +622,69 @@ def training_pipeline_sql() -> str:
         f"AND q.quality >= {PIPELINE_MIN_QUALITY} "
         f"ORDER BY d.docid"
     )
+
+
+# --- Round-4 additions: similarity %, media byte features, streaming twin --
+
+def simhash_similarity_sql() -> str:
+    """X4 twin: (1 - hamming/64) * 100 over the near-dup pairs; exact
+    binary fractions of integer inputs, so no rounding is needed."""
+    return (
+        f"SELECT docid_a, docid_b, hamming, "
+        f"(1.0 - hamming / 64.0) * 100.0 AS similarity_pct "
+        f"FROM ({simhash_neardup_sql()}) ORDER BY docid_a, docid_b"
+    )
+
+
+def media_features_sql() -> str:
+    """Twin of contract_ops.q_media_features: the documents' UTF-8
+    payload bytes recomputed as per-char ascii codes (the sf corpora
+    are pure ASCII — verified at both gated scales), byte_mean as an
+    exact integer-sum division, histogram16 as a comma-joined string."""
+    return (
+        "WITH b AS (SELECT CAST(doc_id AS BIGINT) AS media_id, "
+        "CASE WHEN doc_id % 3 = 0 THEN 'image/png' "
+        "WHEN doc_id % 3 = 1 THEN 'audio/wav' "
+        "ELSE 'video/mp4' END AS media_type, "
+        "list_transform(range(1, length(text) + 1), "
+        "i -> ascii(substr(text, i, 1))) AS bytes FROM documents) "
+        "SELECT media_id, media_type, "
+        "CAST(len(bytes) AS BIGINT) AS n_bytes, "
+        "list_aggregate(bytes, 'sum') * 1.0 / len(bytes) AS byte_mean, "
+        "array_to_string(list_transform(range(0, 16), "
+        "h -> CAST(len(list_filter(bytes, x -> x // 16 = h)) AS VARCHAR)"
+        "), ',') AS h16 "
+        "FROM b ORDER BY media_id"
+    )
+
+
+def sessionize_stream_sql() -> str:
+    """Twin of contract_ops.q_sessionize_stream: the batch lag+cumsum
+    gap split (identical to sessionize_sql's CTEs) emitted per session
+    with start/end epochs, filtered to sessions the stream's FINAL
+    watermark (max event time - 2h) has sealed — the same
+    ``session_end + gap <= watermark`` predicate
+    streaming_sessionize.split_final applies, floor-second exact (the
+    ms-truncated Spark watermark and DuckDB's floor(epoch()) agree —
+    see the contract docstring)."""
+    return (
+        "WITH g AS (SELECT user_id, event_id, ts, value, "
+        "CAST(floor(epoch(ts)) AS BIGINT) AS es, "
+        "CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - "
+        "lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) > 1800 "
+        "THEN 1 ELSE 0 END AS new_sess FROM events), "
+        "s AS (SELECT user_id, value, es, SUM(new_sess) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS session FROM g), "
+        "per AS (SELECT CAST(user_id AS BIGINT) AS user_id, session, "
+        "MIN(es) AS session_start, MAX(es) AS session_end, "
+        "CAST(count(*) AS BIGINT) AS n_events, "
+        "ROUND(SUM(value), 4) AS session_value FROM s "
+        "GROUP BY user_id, session), "
+        "wm AS (SELECT MAX(CAST(floor(epoch(ts)) AS BIGINT)) - 7200 "
+        "AS wm FROM events) "
+        "SELECT user_id, session_start, session_end, n_events, "
+        "session_value FROM per, wm WHERE session_end + 1800 <= wm "
+        "ORDER BY user_id, session_start"
+    )
