@@ -1103,6 +1103,21 @@ class SearchEngine:
         terms = tokenize_query(query)
         if not terms:
             return 0
+        if len(terms) == 1 and self._term_slab_cache is not None:
+            # Single-term fast path (A7): the (term, slab) inventory's
+            # df column already counts distinct matching docs per slab
+            # (generation chunks within a slab cover disjoint docid
+            # ranges), so the count is a driver-side pyarrow sum over
+            # the tiny inventory — O(slabs the term occurs in), zero
+            # postings decode.  Multi-term OR keeps the decode below
+            # (union semantics need the actual docids).
+            import pyarrow.compute as pc
+            import pyarrow.dataset as ds
+
+            tab = ds.dataset(f"{self.index_dir}/term_slabs").to_table(
+                filter=ds.field("term") == terms[0], columns=["df"]
+            )
+            return int(pc.sum(tab.column("df")).as_py() or 0)
         import pandas as pd
 
         from search_engine_spark.indexer.codec import TermChunk
@@ -1152,10 +1167,16 @@ class SearchEngine:
         from search_engine_spark.tokenizer import tokens_col
 
         cand = self.search(query, 4 * k, expand=expand)
-        # broadcast the tiny candidate set; never shuffle the docmap
-        joined = self.docmap.join(F.broadcast(cand), "docid").withColumn(
-            "quality", quality_col(F.col("content"), tokens_col("content"))
-        )
+        # broadcast the tiny candidate set; never shuffle the docmap.
+        # quality is materialized into the docmap at build/append time
+        # (a static per-doc property — no query-time re-tokenization);
+        # pre-quality-column docmaps fall back to computing it here.
+        joined = self.docmap.join(F.broadcast(cand), "docid")
+        if "quality" not in self.docmap.columns:
+            joined = joined.withColumn(
+                "quality", quality_col(F.col("content"),
+                                       tokens_col("content"))
+            )
         mx = joined.agg(F.max("score").alias("_mx"))
         joined = joined.crossJoin(F.broadcast(mx)).withColumn(
             "bm25norm",

@@ -37,7 +37,7 @@ from search_engine_spark.indexer.segments import build_segments, postings_with_k
 
 DOCMAP_COLS = [
     "docid", "repo", "path", "commit", "lang", "content",
-    "content_sha256", "doclen", "title_len",
+    "content_sha256", "doclen", "title_len", "quality",
 ]
 
 
@@ -315,6 +315,7 @@ def append_documents(
         dedup_incremental,
         title_col,
     )
+    from search_engine_spark.ops.ranking import quality_col
     from search_engine_spark.tokenizer import tokens_col, tokens_udf_col
 
     from search_engine_spark.catalog import store_for
@@ -355,8 +356,14 @@ def append_documents(
         .withColumn("doclen", F.size("tokens").cast("int"))
         .withColumn("title_tokens", ttok)
         .withColumn("title_len", F.size("title_tokens").cast("int"))
+        .withColumn("quality", quality_col(F.col("content"),
+                                           F.col("tokens")))
         .localCheckpoint(eager=True)
     )
+    # appending to a pre-quality-column index must keep the docmap
+    # parquet schema uniform across files (plain reads don't
+    # mergeSchema); such docs keep query-time quality computation
+    docmap_cols = [c for c in DOCMAP_COLS if c in existing.columns]
     n_new = fresh.count()
     metrics["n_new"] = n_new
     if n_new == 0:
@@ -367,7 +374,7 @@ def append_documents(
             compact_index(spark, index_dir, mode=mode)
         metrics["append_sec"] = time.time() - t0
         return metrics
-    store.write(fresh.select(*DOCMAP_COLS), "docmap", mode="append")
+    store.write(fresh.select(*docmap_cols), "docmap", mode="append")
     store.refresh(spark, "docmap")
 
     # refreshed corpus stats (exact, over the full docmap)

@@ -127,6 +127,8 @@ def build_docmap(
     (north-star form); False selects the pure-JVM column-expression
     twin (same semantics, asserted equal in tests).
     """
+    from search_engine_spark.ops.ranking import quality_col
+
     tok = tokens_udf_col(content_col) if use_arrow_udf else tokens_col(content_col)
     ttok = (
         tokens_udf_col(title_col()) if use_arrow_udf
@@ -138,4 +140,11 @@ def build_docmap(
         .withColumn("doclen", F.size("tokens").cast("int"))
         .withColumn("title_tokens", ttok)
         .withColumn("title_len", F.size("title_tokens").cast("int"))
+        # F13 quality is a static per-doc property: materialize it at
+        # build time (the tokens are in hand here anyway) so serving
+        # paths (search_ranked) join it instead of re-tokenizing
+        # candidates' full content per query (VERDICT r3).
+        .withColumn(
+            "quality", quality_col(F.col(content_col), F.col("tokens"))
+        )
     )

@@ -113,6 +113,41 @@ def test_pagination_and_count(engine, oracle):
     assert engine.count_matches("zzznosuchterm") == 0
 
 
+def test_count_matches_single_term_fast_path(engine, oracle):
+    """A7 fast path: a 1-term count comes from the (term, slab) df
+    inventory (driver-side pyarrow sum, no postings decode) and must
+    equal both the decode path and the brute oracle."""
+    for t in ["java", "merge", "parser"]:
+        fast = engine.count_matches(t)
+        saved = engine._term_slab_cache
+        try:
+            engine._term_slab_cache = None  # force the decode path
+            slow = engine.count_matches(t)
+        finally:
+            engine._term_slab_cache = saved
+        want = len(oracle.search_weighted({t: 1.0}, 10**9))
+        assert fast == slow == want, t
+    assert engine.count_matches("zzznosuchterm") == 0
+
+
+def test_quality_materialized_in_docmap(engine):
+    """F13 quality is computed once at build time; the stored column
+    must equal the on-the-fly expression search_ranked used to pay
+    per query."""
+    from search_engine_spark.ops.ranking import quality_col
+    from search_engine_spark.tokenizer import tokens_col
+
+    dm = engine.docmap
+    assert "quality" in dm.columns
+    recomputed = dm.select(
+        "docid",
+        "quality",
+        quality_col(F.col("content"), tokens_col("content")).alias("_q"),
+    )
+    bad = recomputed.filter(F.col("quality") != F.col("_q")).count()
+    assert bad == 0
+
+
 def test_search_ranked_blend_and_diversify(engine, spark):
     rows = engine.search_ranked("java search algorithm", 10).collect()
     assert 0 < len(rows) <= 10
