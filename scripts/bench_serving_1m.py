@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Serving latency at >=1M docs (VERDICT r3 next-item 6).
+
+Builds a ~1.07M-doc index as THREE generations (base build + two
+appends, the LSM shape a long-running crawl produces), then measures
+the no-Spark serving path (engine.search_local, pyarrow + numpy WAND
+over the slab-pruned inventory) per query: p50 / p95 / min across
+passes of the 12 reference queries.  This converts round-3's
+"serving stays flat as slabs grow" pruning argument into a direct
+latency number against the reference's p99<100ms@10M claim — at 1M+
+docs and 40+ slabs, a query's cost tracks its terms' df, not corpus
+size.
+
+The index is cached under /tmp and reused across invocations, so
+re-runs measure serving only.
+
+Usage: python scripts/bench_serving_1m.py [--total 1150000] [--cpus 8]
+Prints one JSON line; append to BENCH/serving_1m.jsonl.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = [
+    "java", "python tutorial", "search algorithm", "database index merge",
+    "parse_token_id", "QueryParserImpl", "bug framework api",
+    "zzznosuchterm", "java java java", "the and of", "how to merge",
+    "crawl rank page link doc term",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--total", type=int, default=1_150_000)
+    ap.add_argument("--base", type=int, default=700_000)
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--passes", type=int, default=5)
+    ap.add_argument("--slab", type=int, default=25_000)
+    args = ap.parse_args()
+
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.corpus import corpus_df
+    from search_engine_spark.engine import SearchEngine
+    from search_engine_spark.indexer.build import append_documents
+    from search_engine_spark.session import get_spark
+
+    spark = get_spark(
+        "serving-1m", parallelism=args.cpus, shuffle_partitions=args.cpus * 2
+    )
+    idx = f"/tmp/sgb_idx_{args.total}"
+    marker = os.path.join(idx, "_BENCH_READY")
+    t_build = None
+    if not os.path.exists(marker):
+        cfg = EngineConfig(slab_size=args.slab, term_buckets=16)
+        mid = (args.base + args.total) // 2
+        t0 = time.time()
+        SearchEngine.build(
+            spark,
+            corpus_df(spark, args.base, partitions=args.cpus * 4),
+            idx,
+            cfg,
+        )
+        for n in (mid, args.total):
+            append_documents(
+                spark, idx,
+                corpus_df(spark, n, partitions=args.cpus * 4),
+                compact=False,
+            )
+        t_build = time.time() - t0
+        open(marker, "w").write("ok")
+    eng = SearchEngine(spark, idx)
+    n_docs = int(eng.meta["n_docs"])
+
+    eng.search_local(QUERIES[0], 10)  # warm the dataset handle
+    lat: list[float] = []
+    per_pass: list[float] = []
+    for _ in range(args.passes):
+        t0 = time.time()
+        for q in QUERIES:
+            tq = time.time()
+            eng.search_local(q, 10)
+            lat.append(time.time() - tq)
+        per_pass.append(round(time.time() - t0, 3))
+    lat_ms = sorted(x * 1000 for x in lat)
+
+    # count_matches: inventory fast path (driver-side df sum) vs the
+    # decode path on the same high-df term — the O(slabs) vs O(df)
+    # gap VERDICT r3 item 4 asked to measure, widest at 1M docs.
+    t0 = time.time()
+    c_fast = eng.count_matches("java")
+    t_fast = time.time() - t0
+    saved = eng._term_slab_cache
+    try:
+        eng._term_slab_cache = None
+        t0 = time.time()
+        c_slow = eng.count_matches("java")
+        t_slow = time.time() - t0
+    finally:
+        eng._term_slab_cache = saved
+    assert c_fast == c_slow, (c_fast, c_slow)
+
+    def pct(p: float) -> float:
+        return round(lat_ms[min(len(lat_ms) - 1, int(p * len(lat_ms)))], 1)
+
+    row = {
+        "metric": "serving_1m_ms_per_query",
+        "value": pct(0.50),
+        "unit": "ms",
+        "sf": f"synthetic_{n_docs}",
+        "extras": {
+            "n_docs": n_docs,
+            "generations": 3,
+            "slab_size": args.slab,
+            "n_queries": len(QUERIES),
+            "passes": args.passes,
+            "p50_ms": pct(0.50),
+            "p95_ms": pct(0.95),
+            "min_ms": round(lat_ms[0], 1),
+            "max_ms": round(lat_ms[-1], 1),
+            "per_pass_sec": per_pass,
+            "build_sec": None if t_build is None else round(t_build, 1),
+            "parallelism": args.cpus,
+            "count_matches_docs": c_fast,
+            "count_fast_ms": round(t_fast * 1000, 1),
+            "count_decode_ms": round(t_slow * 1000, 1),
+        },
+    }
+    print(json.dumps(row))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -8,9 +8,16 @@ space by a collision-free stride and mutate content just enough that
 no copied row aliases an original under the engine's dedup/tie-break
 semantics:
 
-- documents: doc_id += i*DOC_STRIDE; text gets a per-copy suffix token
-  (`copyvariantN`, which the frozen tokenizer keeps) so sha256 exact
-  dedup does NOT collapse copies; n_chars recomputed.
+- documents: doc_id += i*DOC_STRIDE; copy i's text gets the suffix
+  token `copyvariantN` repeated i times (the frozen tokenizer keeps
+  it), so sha256 exact dedup does NOT collapse copies AND every copy
+  has a distinct doclen — distinct BM25 scores.  The first generator
+  version appended ONE token to every copy, which manufactured 9-way
+  exact score ties at top-k boundaries and exposed last-ulp
+  float-sum-order differences between DuckDB's SUM and the WAND
+  kernel's fold — an oracle-stability artifact of the synthetic data,
+  not an engine bug (the engine's tie-break is the deterministic
+  docid); n_chars recomputed.
 - events: event_id/user_id shifted; ts += i seconds (stays inside the
   source's 30-day window, so sessionization/windowing semantics scale
   instead of shifting).
@@ -65,10 +72,12 @@ def main() -> None:
 
     scale_sql(con, args.src, args.out, "documents", f, lambda i: (
         f"doc_id + {i * DOC_STRIDE} AS doc_id, "
-        + ("text, " if i == 0 else f"text || ' copyvariant{i}' AS text, ")
+        + ("text, " if i == 0
+           else f"text || repeat(' copyvariant{i}', {i}) AS text, ")
         + "lang, source, "
         + ("n_chars" if i == 0
-           else f"CAST(length(text || ' copyvariant{i}') AS BIGINT) AS n_chars")
+           else f"CAST(length(text || repeat(' copyvariant{i}', {i})) "
+                f"AS BIGINT) AS n_chars")
     ))
     scale_sql(con, args.src, args.out, "events", f, lambda i: (
         f"event_id + {i * KEY_STRIDE} AS event_id, "
