@@ -80,15 +80,47 @@ def main() -> None:
 
     eng.search_local(QUERIES[0], 10)  # warm the dataset handle
     lat: list[float] = []
+    cold: list[float] = []
     per_pass: list[float] = []
-    for _ in range(args.passes):
+    per_query: dict[str, float] = {q: float("inf") for q in QUERIES}
+    for p in range(args.passes):
         t0 = time.time()
         for q in QUERIES:
             tq = time.time()
             eng.search_local(q, 10)
-            lat.append(time.time() - tq)
+            dt = time.time() - tq
+            # pass 0 pays the one-time bucket loads (cold start);
+            # warm passes are the steady-state serving number
+            (cold if p == 0 else lat).append(dt)
+            per_query[q] = min(per_query[q], dt)
         per_pass.append(round(time.time() - t0, 3))
     lat_ms = sorted(x * 1000 for x in lat)
+    # counterfactual: the per-query pruned-scan mode (what serving
+    # costs without the hot bucket cache — one file-open per fragment)
+    eng.serving_cache_buckets = 0
+    scan_lat: list[float] = []
+    for _ in range(2):
+        for q in QUERIES:
+            tq = time.time()
+            eng.search_local(q, 10)
+            scan_lat.append(time.time() - tq)
+    eng.serving_cache_buckets = 16
+    scan_ms = sorted(x * 1000 for x in scan_lat)
+    # per-query best-of-passes with the query's max term df: serving
+    # latency must track df (the slab-pruning story), so the breakdown
+    # separates rare-term latency from near-stopword scan cost
+    from search_engine_spark.tokenizer import tokenize_query
+
+    pq = {
+        q: {
+            "ms": round(per_query[q] * 1000, 1),
+            "max_df": max(
+                (eng._local_df(tokenize_query(q)) or {}).values(),
+                default=0,
+            ),
+        }
+        for q in QUERIES
+    }
 
     # count_matches: inventory fast path (driver-side df sum) vs the
     # decode path on the same high-df term — the O(slabs) vs O(df)
@@ -124,12 +156,18 @@ def main() -> None:
             "p95_ms": pct(0.95),
             "min_ms": round(lat_ms[0], 1),
             "max_ms": round(lat_ms[-1], 1),
+            "cold_pass_sec": round(sum(cold), 3),
+            "scan_mode_p50_ms": round(scan_ms[len(scan_ms) // 2], 1),
+            "scan_mode_p95_ms": round(
+                scan_ms[min(len(scan_ms) - 1, int(0.95 * len(scan_ms)))], 1
+            ),
             "per_pass_sec": per_pass,
             "build_sec": None if t_build is None else round(t_build, 1),
             "parallelism": args.cpus,
             "count_matches_docs": c_fast,
             "count_fast_ms": round(t_fast * 1000, 1),
             "count_decode_ms": round(t_slow * 1000, 1),
+            "per_query": pq,
         },
     }
     print(json.dumps(row))

@@ -39,6 +39,10 @@ REFERENCE_QUERIES = [
 
 
 def time_passes(eng, queries: list[str], reps: int = 3) -> float:
+    # this bench measures the per-query pruned-SCAN path (inventory
+    # slab pruning); the round-4 bucket cache would hide exactly the
+    # IO cost under test, so force scan mode
+    eng.serving_cache_buckets = 0
     eng.search_local(queries[0], 10)  # warm dataset handle
     best = float("inf")
     for _ in range(reps):

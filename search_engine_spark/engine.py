@@ -26,6 +26,11 @@ class SearchEngine:
         self.spark = spark
         self.index_dir = index_dir
         self._cache_plans = cache
+        # serving tier: max term-buckets held decoded in driver memory
+        # (a serving head pins its shard hot, like ES's page cache); 0
+        # switches the search_local* family to per-query pruned scans
+        # (bounded memory, pays ~1 file-open per matching fragment)
+        self.serving_cache_buckets = 16
         self.refresh()
 
     def refresh(self) -> "SearchEngine":
@@ -50,6 +55,9 @@ class SearchEngine:
             self.segments = self.segments.cache()
             self.df_table = self.df_table.cache()
         self._local_ds = None
+        from collections import OrderedDict as _OD
+
+        self._bucket_cache: "_OD[int, dict[str, list]]" = _OD()
         self._df_cache: dict[str, int] = {}
         self._dym_dict: tuple[int, set[str]] | None = None
         # S8 result cache: dropped wholesale per engine generation so a
@@ -734,6 +742,70 @@ class SearchEngine:
             .filter(F.col("rank") <= k)
         )
 
+    def _local_term_rows(self, terms: list[str]) -> dict[str, list]:
+        """Segment rows (slab/term/postings/skips/block_max) per term
+        for the no-Spark serving paths.
+
+        Default mode (``serving_cache_buckets > 0``): rows come from a
+        per-BUCKET in-memory cache — the first query touching a bucket
+        loads that bucket's segment files once (one pyarrow scan) and
+        keeps them decoded, so warm queries do zero file IO and their
+        latency is pure kernel cost.  This is what a real serving head
+        does with its shard (ES keeps segments in the page cache); the
+        LRU cap bounds memory to ``serving_cache_buckets`` of the
+        ``term_buckets`` buckets.  ``refresh()`` drops the cache, so a
+        generation change can never serve stale postings.
+
+        ``serving_cache_buckets = 0``: per-query pruned scan (term +
+        bucket + slab-inventory filters) — bounded memory, pays one
+        file-open per matching fragment; this is the mode the
+        slab-pruning evidence in BENCH/serving_slabs.jsonl measures.
+        """
+        import pyarrow.dataset as ds
+
+        from search_engine_spark.indexer.segments import term_bucket_py
+
+        m = self.meta
+        if self._local_ds is None:
+            self._local_ds = ds.dataset(
+                f"{self.index_dir}/segments", partitioning="hive"
+            )
+        cols = ["slab", "term", "postings", "skips", "block_max"]
+        nb = int(m["term_buckets"])
+        uniq = list(dict.fromkeys(terms))
+        by_term: dict[str, list] = {}
+        if self.serving_cache_buckets > 0:
+            need: dict[int, list[str]] = {}
+            for t in uniq:
+                need.setdefault(term_bucket_py(t, nb), []).append(t)
+            for b, ts in need.items():
+                cached = self._bucket_cache.get(b)
+                if cached is None:
+                    tab = self._local_ds.to_table(
+                        filter=ds.field("bucket") == b, columns=cols
+                    )
+                    cached = {}
+                    for r in tab.to_pylist():
+                        cached.setdefault(r["term"], []).append(r)
+                    self._bucket_cache[b] = cached
+                    while len(self._bucket_cache) > self.serving_cache_buckets:
+                        self._bucket_cache.popitem(last=False)
+                else:
+                    self._bucket_cache.move_to_end(b)
+                for t in ts:
+                    if t in cached:
+                        by_term[t] = cached[t]
+            return by_term
+        buckets = sorted({term_bucket_py(t, nb) for t in uniq})
+        flt = ds.field("term").isin(uniq) & ds.field("bucket").isin(buckets)
+        slabs = self._slabs_for(uniq)
+        if slabs is not None:
+            flt = flt & ds.field("slab").isin(sorted(slabs))
+        tab = self._local_ds.to_table(filter=flt, columns=cols)
+        for r in tab.to_pylist():
+            by_term.setdefault(r["term"], []).append(r)
+        return by_term
+
     def search_local(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Serving-path top-k: NO Spark job — pyarrow pruned read of
         the term/bucket segment files + the same numpy block-max WAND
@@ -749,10 +821,7 @@ class SearchEngine:
         """
         import math as _math
 
-        import pyarrow.dataset as ds
-
         from search_engine_spark.indexer.codec import TermChunk
-        from search_engine_spark.indexer.segments import term_bucket_py
         from search_engine_spark.query.wand import slab_topk
 
         terms = tokenize_query(query)
@@ -764,22 +833,8 @@ class SearchEngine:
                 "the no-Spark serving path reads parquet segment files "
                 "directly; with a catalog store, serve via search()"
             )
-        if self._local_ds is None:
-            self._local_ds = ds.dataset(
-                f"{self.index_dir}/segments", partitioning="hive"
-            )
-        buckets = sorted(
-            {term_bucket_py(t, int(m["term_buckets"])) for t in terms}
-        )
-        flt = ds.field("term").isin(terms) & ds.field("bucket").isin(buckets)
-        slabs = self._slabs_for(terms)
-        if slabs is not None:
-            flt = flt & ds.field("slab").isin(sorted(slabs))
-        tab = self._local_ds.to_table(
-            filter=flt,
-            columns=["slab", "term", "postings", "skips", "block_max"],
-        )
-        if tab.num_rows == 0:
+        by_term = self._local_term_rows(terms)
+        if not by_term:
             return []
         n, df_map = float(m["n_docs"]), self._local_df(terms)
         idf = {
@@ -787,11 +842,11 @@ class SearchEngine:
             for t in terms
             if t in df_map
         }
-        rows = tab.to_pylist()
         by_slab: dict[int, list] = {}
-        for r in rows:
-            if r["term"] in idf:
-                by_slab.setdefault(int(r["slab"]), []).append(r)
+        for t, rows_t in by_term.items():
+            if t in idf:
+                for r in rows_t:
+                    by_slab.setdefault(int(r["slab"]), []).append(r)
         bound_scale = max(1.0, float(m["avgdl"]) / float(m["norm_avgdl"]))
         results: list[tuple[int, float]] = []
         for slab, rs in by_slab.items():
@@ -857,7 +912,6 @@ class SearchEngine:
 
         from search_engine_spark.config import TITLE_PREFIX
         from search_engine_spark.indexer.codec import TermChunk
-        from search_engine_spark.indexer.segments import term_bucket_py
         from search_engine_spark.query.expansion import field_weights
         from search_engine_spark.query.wand import slab_topk
 
@@ -884,22 +938,8 @@ class SearchEngine:
             info[t] = (float(w_c), av_c, bs_c)
             info[TITLE_PREFIX + t] = (float(w_t), av_t, bs_t)
         terms = list(info)
-        if self._local_ds is None:
-            self._local_ds = ds.dataset(
-                f"{self.index_dir}/segments", partitioning="hive"
-            )
-        buckets = sorted(
-            {term_bucket_py(t, int(m["term_buckets"])) for t in terms}
-        )
-        flt = ds.field("term").isin(terms) & ds.field("bucket").isin(buckets)
-        slabs = self._slabs_for(terms)
-        if slabs is not None:
-            flt = flt & ds.field("slab").isin(sorted(slabs))
-        tab = self._local_ds.to_table(
-            filter=flt,
-            columns=["slab", "term", "postings", "skips", "block_max"],
-        )
-        if tab.num_rows == 0:
+        by_term = self._local_term_rows(terms)
+        if not by_term:
             return []
         n, df_map = float(m["n_docs"]), self._local_df(terms)
         widf = {
@@ -909,9 +949,10 @@ class SearchEngine:
             if t in df_map
         }
         by_slab: dict[int, list] = {}
-        for r in tab.to_pylist():
-            if r["term"] in widf:
-                by_slab.setdefault(int(r["slab"]), []).append(r)
+        for t, rows_t in by_term.items():
+            if t in widf:
+                for r in rows_t:
+                    by_slab.setdefault(int(r["slab"]), []).append(r)
         results: list[tuple[int, float]] = []
         for slab, rs in by_slab.items():
             chunks = [
@@ -956,7 +997,6 @@ class SearchEngine:
 
         from search_engine_spark.config import TITLE_PREFIX
         from search_engine_spark.indexer.codec import TermChunk
-        from search_engine_spark.indexer.segments import term_bucket_py
         from search_engine_spark.query.advanced import (
             FLD_CONTENT,
             PAGERANK_FACTOR,
@@ -993,22 +1033,8 @@ class SearchEngine:
                     (float(w), av_t, bs_t, clause, 1)
                 )
         terms = list(info)
-        if self._local_ds is None:
-            self._local_ds = ds.dataset(
-                f"{self.index_dir}/segments", partitioning="hive"
-            )
-        buckets = sorted(
-            {term_bucket_py(t, int(m["term_buckets"])) for t in terms}
-        )
-        flt = ds.field("term").isin(terms) & ds.field("bucket").isin(buckets)
-        slabs = self._slabs_for(terms)
-        if slabs is not None:
-            flt = flt & ds.field("slab").isin(sorted(slabs))
-        tab = self._local_ds.to_table(
-            filter=flt,
-            columns=["slab", "term", "postings", "skips", "block_max"],
-        )
-        if tab.num_rows == 0:
+        by_term = self._local_term_rows(terms)
+        if not by_term:
             return []
         n, df_map = float(m["n_docs"]), self._local_df(terms)
         idf = {
@@ -1017,9 +1043,10 @@ class SearchEngine:
             if t in df_map
         }
         by_slab: dict[int, list] = {}
-        for r in tab.to_pylist():
-            if r["term"] in idf:
-                by_slab.setdefault(int(r["slab"]), []).append(r)
+        for t, rows_t in by_term.items():
+            if t in idf:
+                for r in rows_t:
+                    by_slab.setdefault(int(r["slab"]), []).append(r)
         slab_size = int(m["slab_size"])
         use_boost = pagerank is not None
         pr_by_slab: dict[int, list[tuple[int, float]]] = {}

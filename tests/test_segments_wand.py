@@ -218,3 +218,26 @@ def test_lsm_merge_two_generations(spark, engine, oracle):
     pa = {(r["slab"], r["term"]): bytes(r["postings"]) for r in seg.collect()}
     pb = {(r["slab"], r["term"]): bytes(r["postings"]) for r in merged.collect()}
     assert pa == pb
+
+
+def test_local_bucket_cache_modes_and_invalidation(engine, oracle):
+    """The per-bucket serving cache (serving_cache_buckets > 0) must
+    return exactly what the per-query pruned scan returns, warm
+    queries must hit the cache (no new loads), and refresh() must drop
+    it (generation safety)."""
+    queries = ["java search", "merge", "database index algorithm"]
+    warm = {q: engine.search_local(q, 10) for q in queries}
+    assert engine._bucket_cache  # populated by the queries above
+    n_cached = len(engine._bucket_cache)
+    for q in queries:  # warm pass: pure dict lookups, same results
+        assert engine.search_local(q, 10) == warm[q]
+    assert len(engine._bucket_cache) == n_cached
+    try:
+        engine.serving_cache_buckets = 0  # pruned-scan fallback mode
+        for q in queries:
+            assert engine.search_local(q, 10) == warm[q]
+    finally:
+        engine.serving_cache_buckets = 16
+    engine.refresh()
+    assert not engine._bucket_cache  # generation bump drops the cache
+    assert engine.search_local(queries[0], 10) == warm[queries[0]]
