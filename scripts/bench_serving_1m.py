@@ -148,7 +148,7 @@ def main() -> None:
         "sf": f"synthetic_{n_docs}",
         "extras": {
             "n_docs": n_docs,
-            "generations": 3,
+            "generations": int(eng.meta.get("max_gen", 0)) + 1,
             "slab_size": args.slab,
             "n_queries": len(QUERIES),
             "passes": args.passes,
