@@ -160,6 +160,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_features": CO.q_media_features,
         }
     )
+    # Gate ordering (round 5): the driver records only the FIRST 50
+    # entries, so the four redundant twins go last — bm25_q2/q3/q4
+    # re-cover the naive path that bm25_q1 + the wand/and/fields/full
+    # families already gate, and ann_sign_lsh's indexed twin
+    # (ann_lsh_indexed) shares its oracle byte-for-byte.  This puts
+    # sessionize_stream / training_pipeline / simhash_similarity /
+    # media_features (never driver-gated in rounds 1-4) inside the
+    # window; the tail four stay green in scripts/contract_sweep.py.
+    for tail in ("bm25_q2", "bm25_q3", "bm25_q4", "ann_sign_lsh"):
+        q[tail] = q.pop(tail)
     return q
 
 

@@ -493,6 +493,19 @@ def q_media_features(spark, sf_dir) -> DataFrame:
         F.col("doc_id").cast("long").alias("docid"),
         F.col("text").alias("content"),
     )
+    # hard guard for the oracle's ascii-codes recomputation: one
+    # non-ASCII char would silently diverge n_bytes/byte_mean/h16
+    # (UTF-8 bytes vs per-char codes), so fail fast instead
+    non_ascii = (
+        d.filter(F.octet_length("content") != F.length("content"))
+        .limit(1)
+        .count()
+    )
+    if non_ascii:
+        raise ValueError(
+            "media_features oracle requires a pure-ASCII corpus "
+            "(found text where octet_length != length)"
+        )
     feats = extract_features(synthesize_media(d, id_col="docid",
                                               text_col="content"))
     return (
@@ -527,22 +540,45 @@ def q_sessionize_stream(spark, sf_dir) -> DataFrame:
     from search_engine_spark.streaming.ingest import streaming_sessionize
 
     src = tempfile.mkdtemp(prefix="sess_stream_contract_")
-    shutil.copy(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(src, "part-00000.parquet"),
-    )
-    schema = load(spark, sf_dir, "events").schema
-    stream = spark.readStream.schema(schema).parquet(src)
-    out = streaming_sessionize(stream, gap_sec=1800, watermark="2 hours")
-    sink = "sessionize_stream_" + uuid.uuid4().hex[:8]
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+    try:
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src, "part-00000.parquet"),
+        )
+        schema = load(spark, sf_dir, "events").schema
+        # normalize ts to whole seconds BEFORE the watermark so the
+        # stream's ms-precise watermark and the oracle's
+        # floor(epoch()) seal the same boundary sessions even if a
+        # fixture ever grows sub-second timestamps (identity on the
+        # driver's corpora, which are whole-second)
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withColumn("ts", F.date_trunc("second", F.col("ts")))
+        )
+        out = streaming_sessionize(
+            stream, gap_sec=1800, watermark="2 hours"
+        )
+        sink = "sessionize_stream_" + uuid.uuid4().hex[:8]
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(600):
+                raise TimeoutError(
+                    "sessionize_stream: availableNow replay exceeded "
+                    "600s — refusing to compare a partial memory table"
+                )
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    # the memory sink's table is materialized on the driver, so it
+    # outlives both the stopped query and the deleted source dir
     return (
         spark.table(sink)
         .select(

@@ -29,8 +29,14 @@ class SearchEngine:
         # serving tier: max term-buckets held decoded in driver memory
         # (a serving head pins its shard hot, like ES's page cache); 0
         # switches the search_local* family to per-query pruned scans
-        # (bounded memory, pays ~1 file-open per matching fragment)
+        # (bounded memory, pays ~1 file-open per matching fragment).
+        # serving_cache_max_bytes bounds the same cache in BYTES
+        # (arrow-buffer size of each bucket's fragment table) so a
+        # large index can't pin half its postings in driver memory
+        # just because it fits in 16 buckets — eviction fires on
+        # whichever bound (bucket count / byte budget) trips first.
         self.serving_cache_buckets = 16
+        self.serving_cache_max_bytes = 1 << 30
         self.refresh()
 
     def refresh(self) -> "SearchEngine":
@@ -58,6 +64,7 @@ class SearchEngine:
         from collections import OrderedDict as _OD
 
         self._bucket_cache: "_OD[int, dict[str, list]]" = _OD()
+        self._bucket_cache_nbytes: dict[int, int] = {}
         self._df_cache: dict[str, int] = {}
         self._dym_dict: tuple[int, set[str]] | None = None
         # S8 result cache: dropped wholesale per engine generation so a
@@ -788,8 +795,16 @@ class SearchEngine:
                     for r in tab.to_pylist():
                         cached.setdefault(r["term"], []).append(r)
                     self._bucket_cache[b] = cached
-                    while len(self._bucket_cache) > self.serving_cache_buckets:
-                        self._bucket_cache.popitem(last=False)
+                    # arrow-buffer bytes approximate the decoded rows'
+                    # payload (postings/skips/block_max dominate both)
+                    self._bucket_cache_nbytes[b] = int(tab.nbytes)
+                    while len(self._bucket_cache) > 1 and (
+                        len(self._bucket_cache) > self.serving_cache_buckets
+                        or sum(self._bucket_cache_nbytes.values())
+                        > self.serving_cache_max_bytes
+                    ):
+                        old, _ = self._bucket_cache.popitem(last=False)
+                        self._bucket_cache_nbytes.pop(old, None)
                 else:
                     self._bucket_cache.move_to_end(b)
                 for t in ts:

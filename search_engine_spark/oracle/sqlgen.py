@@ -406,9 +406,16 @@ def ranked_blend_sql(query: str, k: int = 10, candidates: int = 40) -> str:
     bm25norm -> quality -> 0.35/0.20 blend clamped to [0,1] (pagerank/
     ctr/freshness weights enter at 0) -> max-2-per-source -> top-k.
     ml_score rounds through the shared float formula."""
+    from search_engine_spark.ops.ranking import BLEND_WEIGHTS
+
     cand = bm25_dedup_topk_sql(query, candidates)
     qual = quality_score_sql().replace("ORDER BY docid", "")
-    blend = "(0.35 * bm25norm + 0.2 * quality)"
+    # weights come from the SAME dict the Spark twin reads, so a
+    # future weight change can't desynchronize oracle from engine
+    blend = (
+        f"({BLEND_WEIGHTS['bm25']!r} * bm25norm "
+        f"+ {BLEND_WEIGHTS['quality']!r} * quality)"
+    )
     clamped = f"least(greatest({blend}, 0.0), 1.0)"
     return (
         f"WITH cand AS ({cand}), qual AS ({qual}), "
