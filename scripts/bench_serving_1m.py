@@ -43,6 +43,10 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--passes", type=int, default=5)
     ap.add_argument("--slab", type=int, default=25_000)
+    ap.add_argument("--threads", type=int, default=0,
+                    help="serving_threads: 0=auto pool, 1=serial")
+    ap.add_argument("--compact", action="store_true",
+                    help="splice-compact to one generation first")
     args = ap.parse_args()
 
     from search_engine_spark.config import EngineConfig
@@ -75,7 +79,17 @@ def main() -> None:
             )
         t_build = time.time() - t0
         open(marker, "w").write("ok")
+    t_compact = None
+    compact_marker = os.path.join(idx, "_BENCH_COMPACTED")
+    if args.compact and not os.path.exists(compact_marker):
+        from search_engine_spark.indexer.build import compact_index
+
+        t0 = time.time()
+        compact_index(spark, idx, mode="splice")
+        t_compact = time.time() - t0
+        open(compact_marker, "w").write("ok")
     eng = SearchEngine(spark, idx)
+    eng.serving_threads = args.threads
     n_docs = int(eng.meta["n_docs"])
 
     eng.search_local(QUERIES[0], 10)  # warm the dataset handle
@@ -163,6 +177,8 @@ def main() -> None:
             ),
             "per_pass_sec": per_pass,
             "build_sec": None if t_build is None else round(t_build, 1),
+            "compact_sec": None if t_compact is None else round(t_compact, 1),
+            "serving_threads": args.threads,
             "parallelism": args.cpus,
             "count_matches_docs": c_fast,
             "count_fast_ms": round(t_fast * 1000, 1),

@@ -37,6 +37,19 @@ class SearchEngine:
         # whichever bound (bucket count / byte budget) trips first.
         self.serving_cache_buckets = 16
         self.serving_cache_max_bytes = 1 << 30
+        # per-query slab fan-out for the no-Spark serving paths.
+        # MEASURED NEGATIVE RESULT (r5, 1.09M docs): slabs are
+        # independent, but the WAND kernel is a Python loop over small
+        # numpy ops that never release the GIL long enough — threads
+        # monotonically DEGRADE latency (6-term hot query: 1=1163ms,
+        # 2=1623ms, 4=5074ms, 8=7081ms; pure GIL convoy).  Default is
+        # therefore serial; the knob + bit-parity test stay for a
+        # free-threaded/nogil future.  The tail fix that worked is in
+        # the kernel instead: query/wand.py dense-query exhaustive
+        # mode + codec.py decode fast paths (1163 -> 264ms same query).
+        self.serving_threads = 1
+        self._serving_pool = None
+        self._serving_pool_size = 0
         self.refresh()
 
     def refresh(self) -> "SearchEngine":
@@ -821,6 +834,41 @@ class SearchEngine:
             by_term.setdefault(r["term"], []).append(r)
         return by_term
 
+    def _run_slabs(self, by_slab: dict[int, list], score_one):
+        """Run ``score_one(slab, rows) -> (ids, scores)`` over every
+        candidate slab and concatenate the per-slab top-k.
+
+        Slabs partition the docid space, so their kernels share no
+        state.  ``serving_threads > 1`` fans them out on a lazily
+        created thread pool — kept for a free-threaded future, but
+        DEFAULTED OFF because the kernel is GIL-bound and threads
+        measurably degrade latency (see __init__).  ``ex.map``
+        preserves submission order and the caller re-sorts by
+        (-score, docid), so the threaded result is BIT-IDENTICAL to
+        the serial loop (pinned in pytest)."""
+        items = list(by_slab.items())
+        nt = self.serving_threads or min(8, os.cpu_count() or 1)
+        results: list[tuple[int, float]] = []
+        if nt <= 1 or len(items) <= 1:
+            for slab, rs in items:
+                ids, sc = score_one(slab, rs)
+                results.extend(zip(ids.tolist(), sc.tolist()))
+            return results
+        if self._serving_pool is None or self._serving_pool_size != nt:
+            from concurrent.futures import ThreadPoolExecutor
+
+            if self._serving_pool is not None:
+                self._serving_pool.shutdown(wait=False)
+            self._serving_pool = ThreadPoolExecutor(
+                max_workers=nt, thread_name_prefix="serve-slab"
+            )
+            self._serving_pool_size = nt
+        for ids, sc in self._serving_pool.map(
+            lambda it: score_one(*it), items
+        ):
+            results.extend(zip(ids.tolist(), sc.tolist()))
+        return results
+
     def search_local(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Serving-path top-k: NO Spark job — pyarrow pruned read of
         the term/bucket segment files + the same numpy block-max WAND
@@ -863,8 +911,8 @@ class SearchEngine:
                 for r in rows_t:
                     by_slab.setdefault(int(r["slab"]), []).append(r)
         bound_scale = max(1.0, float(m["avgdl"]) / float(m["norm_avgdl"]))
-        results: list[tuple[int, float]] = []
-        for slab, rs in by_slab.items():
+
+        def score_one(slab: int, rs: list):
             chunks = [
                 (
                     TermChunk(r["postings"], r["skips"], r["block_max"]),
@@ -872,7 +920,7 @@ class SearchEngine:
                 )
                 for r in rs
             ]
-            ids, sc = slab_topk(
+            return slab_topk(
                 chunks,
                 slab * int(m["slab_size"]),
                 int(m["slab_size"]),
@@ -883,7 +931,8 @@ class SearchEngine:
                 float(m["avgdl"]),
                 bound_scale,
             )
-            results.extend(zip(ids.tolist(), sc.tolist()))
+
+        results = self._run_slabs(by_slab, score_one)
         results.sort(key=lambda x: (-x[1], x[0]))
         return results[:k]
 
@@ -968,8 +1017,7 @@ class SearchEngine:
             if t in widf:
                 for r in rows_t:
                     by_slab.setdefault(int(r["slab"]), []).append(r)
-        results: list[tuple[int, float]] = []
-        for slab, rs in by_slab.items():
+        def score_one(slab: int, rs: list):
             chunks = [
                 (
                     TermChunk(r["postings"], r["skips"], r["block_max"]),
@@ -979,7 +1027,7 @@ class SearchEngine:
                 )
                 for r in rs
             ]
-            ids, sc = slab_topk(
+            return slab_topk(
                 chunks,
                 slab * int(m["slab_size"]),
                 int(m["slab_size"]),
@@ -989,7 +1037,8 @@ class SearchEngine:
                 float(m["b"]),
                 av_c,
             )
-            results.extend(zip(ids.tolist(), sc.tolist()))
+
+        results = self._run_slabs(by_slab, score_one)
         results.sort(key=lambda x: (-x[1], x[0]))
         return results[:k]
 
@@ -1071,8 +1120,7 @@ class SearchEngine:
             # would dwarf the pruned pyarrow read this path exists for
             for d, p in pagerank.items():
                 pr_by_slab.setdefault(d // slab_size, []).append((d, p))
-        results: list[tuple[int, float]] = []
-        for slab, rs in by_slab.items():
+        def score_one(slab: int, rs: list):
             chunks = []
             for r in rs:
                 c = TermChunk(r["postings"], r["skips"], r["block_max"])
@@ -1091,12 +1139,13 @@ class SearchEngine:
                 base = slab * slab_size
                 for d, p in pr_by_slab.get(slab, ()):
                     boost[d - base] = _math.log1p(PAGERANK_FACTOR * p)
-            ids, sc = slab_topk_adv(
+            return slab_topk_adv(
                 chunks, slab * slab_size, slab_size,
                 int(m["block_size"]), k, float(m["k1"]), float(m["b"]),
                 boost=boost,
             )
-            results.extend(zip(ids.tolist(), sc.tolist()))
+
+        results = self._run_slabs(by_slab, score_one)
         results.sort(key=lambda x: (-x[1], x[0]))
         return results[:k]
 

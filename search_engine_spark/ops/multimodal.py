@@ -68,10 +68,13 @@ def decode_image(payload: bytes) -> np.ndarray:
     - PNG (8-bit, non-interlaced; color types 0 gray / 2 RGB /
       3 palette / 4 gray+alpha / 6 RGBA; all 5 row filters)
                   -> (H, W) / (H, W, 2) / (H, W, 3) / (H, W, 4) uint8
+    - JPEG baseline sequential (SOF0/SOF1: Huffman entropy decode
+      with restarts, dequant + IDCT, subsampling, JFIF YCbCr->RGB;
+      ops/jpeg.py)               -> (H, W) / (H, W, 3) uint8
 
-    JPEG/GIF/WebP need an entropy decoder (Huffman / LZW / VP8) that
-    is not in this container and stay behind the documented
-    NotImplementedError — install pillow and extend the dispatch.
+    GIF (LZW) and WebP (VP8) stay behind the documented
+    NotImplementedError, as do progressive/arithmetic JPEG — install
+    pillow and extend this dispatch.
     """
     buf = bytes(payload)
     if buf[:2] in (b"P6", b"P5"):
@@ -80,11 +83,17 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_bmp(buf)
     if buf[:8] == PNG_SIG:
         return _decode_png(buf)
-    known = {b"\xff\xd8\xff": "jpeg", b"GIF": "gif", b"RIF": "webp"}
-    fmt = next((v for k, v in known.items() if buf.startswith(k)), "unknown")
+    if buf[:3] == b"\xff\xd8\xff":
+        from search_engine_spark.ops.jpeg import decode_jpeg
+
+        return decode_jpeg(buf)
+    fmt = "gif" if buf[:3] == b"GIF" else (
+        "webp" if buf[:3] == b"RIF" else "unknown"
+    )
     raise NotImplementedError(
         f"compressed codec ({fmt}): entropy decode needs pillow/libvips "
-        "(not in this container); PPM/PGM/BMP/PNG decode here is real"
+        "(not in this container); PPM/PGM/BMP/PNG/baseline-JPEG decode "
+        "here is real"
     )
 
 

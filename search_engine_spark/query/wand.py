@@ -29,6 +29,54 @@ from search_engine_spark.indexer.codec import TermChunk, tf_norm_factor
 TOPK_SCHEMA = "docid long, score double"
 
 
+def _blocks_in(block_ids: np.ndarray, sorted_batch: np.ndarray) -> np.ndarray:
+    """Indices into ``block_ids`` (sorted ascending, unique) of the
+    entries present in ``sorted_batch`` — searchsorted membership,
+    O(|batch| log n) instead of np.isin's sort of the whole chunk."""
+    pos = np.searchsorted(block_ids, sorted_batch)
+    pos[pos >= len(block_ids)] = len(block_ids) - 1
+    return pos[block_ids[pos] == sorted_batch]
+
+
+def _exhaustive_topk(
+    chunks: list[tuple],
+    slab_base: int,
+    slab_size: int,
+    block_size: int,
+    k: int,
+    k1: float,
+    b: float,
+    n_required: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Term-at-a-time exhaustive scorer for dense queries (see the
+    dispatch in ``slab_topk``): full-decode every chunk once, one
+    fancy-index add per chunk, single top-k selection at the end.
+    Same contribution order per doc as the batch path -> bit-identical
+    scores; the final (score desc, docid asc) selection keeps boundary
+    ties exactly like the batch path's lexsort."""
+    scores = np.zeros(slab_size, dtype=np.float64)
+    counts = np.zeros(slab_size, dtype=np.int32) if n_required else None
+    for c, idf, c_avgdl, _b in chunks:
+        local, tf, dl = c.decode_all(block_size)
+        scores[local] += idf * tf_norm_factor(tf, dl, k1, b, c_avgdl)
+        if counts is not None:
+            counts[local] += 1
+    ids = np.flatnonzero(
+        (scores > 0.0)
+        if counts is None
+        else (scores > 0.0) & (counts >= n_required)
+    )
+    sc = scores[ids]
+    if len(ids) > k:
+        # threshold at the kth-largest score, keep boundary ties, then
+        # the exact lexsort on the (small) surviving set
+        kth = np.partition(sc, len(sc) - k)[len(sc) - k]
+        keep = sc >= kth
+        ids, sc = ids[keep], sc[keep]
+    sel = np.lexsort((ids, -sc))[:k]
+    return ids[sel] + slab_base, sc[sel]
+
+
 def slab_topk(
     chunks: list[tuple],
     slab_base: int,
@@ -63,9 +111,28 @@ def slab_topk(
         for c in chunks
     ]
     n_grid = (slab_size + block_size - 1) // block_size
+    # Dense multi-term queries (every block active for every term —
+    # the near-stopword worst case) defeat block-max pruning by
+    # construction: all block bounds are similar, theta never clears
+    # them, and the batch machinery only adds overhead.  Score those
+    # term-at-a-time exhaustively instead.  The rule is a pure
+    # function of the chunk set, so the Spark path and the serving
+    # head take the same branch; per-doc contributions add in the
+    # same chunk order as the batch path (a doc lives in exactly one
+    # block), so results are BIT-IDENTICAL either way.
+    if (
+        len(chunks) >= 3
+        and sum(c[0].n_blocks for c in chunks) >= 2 * n_grid
+    ):
+        return _exhaustive_topk(
+            chunks, slab_base, slab_size, block_size, k, k1, b,
+            n_required,
+        )
     ub = np.zeros(n_grid, dtype=np.float64)
     for c, idf, _a, bscale in chunks:
-        np.add.at(ub, c.block_ids, idf * c.block_max * bscale)
+        # block_ids are unique within a chunk, so the fancy-index add
+        # equals (and is much faster than) the unbuffered np.add.at
+        ub[c.block_ids] += idf * c.block_max * bscale
     # 1e-12 relative inflation: the bound sum and the true score sum
     # the same float terms in different orders, so a doc could exceed
     # the "upper" bound by a few ulps — inflate so pruning stays sound.
@@ -88,20 +155,32 @@ def slab_topk(
             cut = np.searchsorted(-ub[batch], -theta, side="right")
             batch = batch[:cut] if cut > 0 else batch[:1]
         pos += len(batch)
-        touched_parts = []
+        sbatch = np.sort(batch)
+        any_hit = False
         for c, idf, c_avgdl, _b in chunks:
-            sel = np.flatnonzero(np.isin(c.block_ids, batch))
+            sel = _blocks_in(c.block_ids, sbatch)
             if len(sel) == 0:
                 continue
             local, tf, dl = c.decode_blocks(sel, block_size)
             contrib = idf * tf_norm_factor(tf, dl, k1, b, c_avgdl)
-            np.add.at(scores, local, contrib)
+            # a doc occurs at most once per chunk, so the fancy-index
+            # add is exact (same one float add per element as add.at)
+            scores[local] += contrib
             if counts is not None:
-                np.add.at(counts, local, 1)
-            touched_parts.append(local)
-        if not touched_parts:
+                counts[local] += 1
+            any_hit = True
+        if not any_hit:
             continue
-        touched = np.unique(np.concatenate(touched_parts))
+        # candidate docids = the batch blocks' docid ranges (docs
+        # never span blocks); matched docs are exactly those with a
+        # positive score (every BM25 contribution is > 0)
+        cand = (
+            sbatch[:, None] * block_size
+            + np.arange(block_size, dtype=np.int64)
+        ).ravel()
+        if cand[-1] >= slab_size:
+            cand = cand[cand < slab_size]
+        touched = cand[scores[cand] > 0.0]
         cand_scores = scores[touched]
         scores[touched] = 0.0  # reset buffer for next batch
         if counts is not None:
@@ -167,7 +246,7 @@ def slab_topk_adv(
 
     ub = np.zeros(n_grid, dtype=np.float64)
     for c, widf, _a, bscale, _cl, _f, _r in chunks:
-        np.add.at(ub, c.block_ids, widf * c.block_max * bscale)
+        ub[c.block_ids] += widf * c.block_max * bscale
     ub *= 1.0 + 1e-12  # same ulp-order inflation as slab_topk
     # activity = "block has matches" and MUST come from the term bound
     # alone: a block whose boost maximum is 0 still holds matched docs
@@ -197,21 +276,29 @@ def slab_topk_adv(
             cut = np.searchsorted(-ub[batch], -theta, side="right")
             batch = batch[:cut] if cut > 0 else batch[:1]
         pos += len(batch)
-        touched_parts = []
+        sbatch = np.sort(batch)
+        any_hit = False
         req_locals: dict[int, list] = {}
         for i, (c, widf, c_avgdl, _b, _cl, _f, req) in enumerate(chunks):
-            sel = np.flatnonzero(np.isin(c.block_ids, batch))
+            sel = _blocks_in(c.block_ids, sbatch)
             if len(sel) == 0:
                 continue
             local, tf, dl = c.decode_blocks(sel, block_size)
             contrib = widf * tf_norm_factor(tf, dl, k1, b, c_avgdl)
-            np.add.at(scores2[gids[i]], local, contrib)
-            touched_parts.append(local)
+            # unique docids per chunk tuple -> fancy-index add is exact
+            scores2[gids[i]][local] += contrib
+            any_hit = True
             if counts is not None and req >= 0:
                 req_locals.setdefault(req, []).append(local)
-        if not touched_parts:
+        if not any_hit:
             continue
-        touched = np.unique(np.concatenate(touched_parts))
+        cand = (
+            sbatch[:, None] * block_size
+            + np.arange(block_size, dtype=np.int64)
+        ).ravel()
+        if cand[-1] >= slab_size:
+            cand = cand[cand < slab_size]
+        touched = cand[(scores2[:, cand] > 0.0).any(axis=0)]
         if counts is not None:
             for _req, ls in req_locals.items():
                 counts[np.unique(np.concatenate(ls))] += 1

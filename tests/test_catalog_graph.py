@@ -109,3 +109,30 @@ def test_pagerank_converged(spark):
     # eps so loose it stops immediately
     _, iters1 = pagerank_converged(edges, eps=1e9, max_iters=100)
     assert iters1 == 1
+
+
+def test_pagerank_local_parity(spark):
+    """The driver-local numpy kernel must match the Spark op on a
+    deterministic pseudo-random graph: same iteration count, same
+    scores (to float tolerance — bincount vs shuffle-sum fold order),
+    identical rank order."""
+    import numpy as np
+
+    from search_engine_spark.ops.graph import pagerank_local
+
+    rng = np.random.RandomState(7)
+    n_nodes, n_edges = 200, 1500
+    src = rng.randint(0, n_nodes, n_edges)
+    dst = rng.randint(0, n_nodes, n_edges)
+    edges = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(src, dst)], "src long, dst long"
+    )
+    pr, iters_s = pagerank_converged(edges, eps=1e-4, max_iters=100)
+    want = {r["node"]: r["score"] for r in pr.collect()}
+    nodes, scores, iters_l = pagerank_local(src, dst, eps=1e-4,
+                                            max_iters=100)
+    assert iters_l == iters_s
+    got = dict(zip(nodes.tolist(), scores.tolist()))
+    assert set(got) == set(want)
+    for n, s in want.items():
+        assert got[n] == pytest.approx(s, rel=1e-9), n

@@ -24,13 +24,17 @@ def test_media_schema_and_stats(media):
 
 
 def test_decode_entropy_codecs_still_raise():
-    # JPEG/GIF/WebP entropy codecs stay behind the documented stub
-    # (no pillow here); PNG no longer does — zlib is stdlib.
-    for magic in (b"\xff\xd8\xff\xe0", b"GIF89a", b"RIFFxxxxWEBP"):
+    # GIF/WebP entropy codecs stay behind the documented stub (no
+    # pillow here); PNG (r4) and baseline JPEG (r5) no longer do.
+    for magic in (b"GIF89a", b"RIFFxxxxWEBP"):
         with pytest.raises(NotImplementedError):
             mm.decode_image(magic + b"\x00" * 32)
     with pytest.raises(NotImplementedError):
-        mm.resize_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32, 64, 64)
+        mm.resize_image(b"GIF89a" + b"\x00" * 32, 64, 64)
+    # truncated baseline JPEG is a ValueError (quarantined row-wise),
+    # not a hard NotImplementedError
+    with pytest.raises(ValueError):
+        mm.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
 
 
 def _gradient(h, w):
@@ -309,3 +313,100 @@ def test_feature_extraction_matches_numpy(media):
         p = hist / hist.sum()
         ent = float(-(p[p > 0] * np.log2(p[p > 0])).sum())
         assert f["byte_entropy"] == pytest.approx(ent, rel=1e-12)
+
+
+# --- baseline JPEG (round 5: ops/jpeg.py) ----------------------------------
+
+def test_jpeg_dc_exact_roundtrip():
+    """With quant=1, per-block-constant images hit the DC-only path
+    where FDCT -> quantize -> IDCT is EXACT (DC of a constant block is
+    8*(c-128), all AC zero), so the lossy codec pins bit-exact here."""
+    from search_engine_spark.ops import jpeg as J
+
+    rng = np.random.RandomState(3)
+    blocks = rng.randint(0, 256, (4, 5))
+    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.uint8)
+    assert np.array_equal(J.decode_jpeg(J.encode_jpeg(img)), img)
+    # constant RGB in 4:4:4 AND 4:2:0 (box-subsampled constant chroma
+    # stays constant, so still exact)
+    rgb = np.zeros((16, 16, 3), np.uint8)
+    rgb[...] = (40, 90, 200)
+    for sub in ("4:4:4", "4:2:0"):
+        got = J.decode_jpeg(J.encode_jpeg(rgb, subsampling=sub))
+        assert np.array_equal(got, rgb), sub
+
+
+def test_jpeg_bounded_error_and_shapes():
+    """Arbitrary content at quant=1: reconstruction error bounded by
+    DCT rounding (<=2), including odd dimensions, 4:2:0 and restart
+    markers."""
+    from search_engine_spark.ops import jpeg as J
+
+    rng = np.random.RandomState(4)
+    for shape, kw in [
+        ((13, 21), {}),
+        ((40, 72), {"restart_interval": 3}),
+        ((24, 40, 3), {"subsampling": "4:4:4"}),
+    ]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        got = J.decode_jpeg(J.encode_jpeg(img, **kw))
+        assert got.shape == img.shape
+        assert np.abs(got.astype(int) - img.astype(int)).max() <= 2, kw
+    # smooth gradient through the dispatch in multimodal.decode_image
+    x = np.linspace(0, 255, 64)
+    img = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    got = mm.decode_image(J.encode_jpeg(img))
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_jpeg_out_of_scope_raises():
+    from search_engine_spark.ops import jpeg as J
+
+    img = np.zeros((8, 8), np.uint8)
+    good = J.encode_jpeg(img)
+    # flip SOF0 (0xC0) to SOF2 (progressive) -> NotImplementedError
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        J.decode_jpeg(prog)
+    # truncated entropy data -> ValueError (quarantinable)
+    with pytest.raises(ValueError):
+        J.decode_jpeg(good[:-8] + b"\xff\xd9")
+
+
+def test_jpeg_spark_end_to_end(spark):
+    """JPEG payloads through the real mapInPandas feature extractor:
+    decoded dims/luma match numpy; a corrupt body quarantines ok=false
+    without failing the task."""
+    import pandas as pd
+
+    from search_engine_spark.ops import jpeg as J
+
+    imgs = {i: _gradient(16 + i % 3, 17 + i % 4) for i in range(8)}
+    payloads = [J.encode_jpeg(img) for img in imgs.values()]
+    payloads[5] = payloads[5][:40]  # corrupt one body
+    pdf = pd.DataFrame(
+        {
+            "media_id": list(imgs),
+            "media_type": ["image/jpeg"] * len(imgs),
+            "media": payloads,
+            "width": [img.shape[1] for img in imgs.values()],
+            "height": [img.shape[0] for img in imgs.values()],
+            "n_bytes": [0] * len(imgs),
+        }
+    )
+    media = spark.createDataFrame(pdf, schema=mm.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in mm.decode_features(media).collect()}
+    assert len(feats) == len(imgs)
+    assert not feats[5]["ok"]
+    for i, img in imgs.items():
+        if i == 5:
+            continue
+        f = feats[i]
+        assert f["ok"]
+        assert (f["width"], f["height"], f["channels"]) == (
+            img.shape[1], img.shape[0], 3,
+        )
+        dec = J.decode_jpeg(J.encode_jpeg(img))
+        want = (dec[:, :, 0] * 0.299 + dec[:, :, 1] * 0.587
+                + dec[:, :, 2] * 0.114).mean()
+        assert f["mean_luma"] == pytest.approx(float(want), rel=1e-9)
