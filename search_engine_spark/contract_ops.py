@@ -305,13 +305,22 @@ def q_spell_suggest(spark, sf_dir) -> DataFrame:
         [("tabl",), ("qery",), ("datt",), ("sparkk",)], "word string"
     )
     terms = documents_postings(spark, sf_dir).select("term").distinct()
-    # length-band prefilter: levenshtein <= 2 implies |len diff| <= 2,
-    # so this drops most of the vocabulary BEFORE the O(len^2)
-    # levenshtein — at a 100x vocabulary the cheap length predicate is
-    # what keeps the crossJoin linear in practice
+    # length-band EQUI-join: levenshtein <= 2 implies |len diff| <= 2,
+    # so each word explodes into its 5 admissible candidate lengths
+    # and hash-joins the vocabulary on length(term) — a broadcast hash
+    # join the optimizer can't degrade to a nested loop, which is what
+    # keeps this linear at a 100x vocabulary (the old crossJoin +
+    # length filter had the same semantics but nested-loop shape)
+    cand = words.withColumn(
+        "_cl",
+        F.explode(
+            F.sequence(F.length("word") - F.lit(2),
+                       F.length("word") + F.lit(2))
+        ),
+    )
     j = (
-        words.crossJoin(terms)
-        .filter(F.abs(F.length("word") - F.length("term")) <= 2)
+        terms.withColumn("_tl", F.length("term"))
+        .join(F.broadcast(cand), F.col("_tl") == F.col("_cl"))
         .withColumn("dist", F.levenshtein("word", "term"))
         .filter(F.col("dist") <= 2)
     )

@@ -169,3 +169,25 @@ def test_search_ranked_blend_and_diversify(engine, spark):
     did = rows[-1]["docid"]
     if did in boosted and did in base:
         assert boosted[did] > base[did]
+
+
+def test_spell_suggest_plan_is_hash_join(spark):
+    """Plan audit (VERDICT r4 next-item 8): the contract spell_suggest
+    query joins the 4 misspelled words to the vocabulary via an
+    explode-candidate-lengths BROADCAST HASH equi-join on length(term)
+    — never a nested-loop crossJoin whose length-band predicate can't
+    push into the join. Semantics are unchanged (the sf0.01 oracle
+    stays green); this pins the shape."""
+    import io
+    from contextlib import redirect_stdout
+
+    from search_engine_spark.contract_ops import q_spell_suggest
+
+    df = q_spell_suggest(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

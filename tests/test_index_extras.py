@@ -217,3 +217,60 @@ def test_serving_threads_parity(engine):
     # pool is reused across queries and resized on demand
     assert engine._serving_pool is not None
     engine.serving_threads = 1  # restore the (serial) default
+
+
+# --- Zipf hot-term salting bound (round 5) ----------------------------------
+
+def test_hot_term_groups_bounded(spark, tmp_path_factory):
+    """The slab-salting claim (segments.py:13-17), pinned: injecting a
+    term into ~50% of all docs (df far beyond any organic term) must
+    NOT create a jumbo segment group — the docid-range slab is the
+    salt, so the hot build's max (slab, bucket) group stays within
+    tokens-per-doc jitter of the uniform build's and nowhere near df.
+    count_matches on the hot term must equal ground truth exactly."""
+    base = corpus_df(spark, N, partitions=6)
+    hot = base.withColumn(
+        "content",
+        F.when(
+            F.pmod(F.xxhash64("repo", "path"), F.lit(2)) == 0,
+            F.concat(F.col("content"), F.lit(" zzhot")),
+        ).otherwise(F.col("content")),
+    )
+    stats = {}
+    engines = {}
+    for name, docs in (("uniform", base), ("hot", hot)):
+        d = str(tmp_path_factory.mktemp(f"zipf_{name}"))
+        engines[name] = SearchEngine.build(spark, docs, d, CFG)
+        sizes = [
+            r["rows"]
+            for r in spark.read.parquet(f"{d}/segments")
+            .groupBy("slab", "bucket")
+            .agg(F.sum("df").alias("rows"))
+            .collect()
+        ]
+        stats[name] = max(sizes)
+    df_hot = engines["hot"].count_matches("zzhot")
+    want = (
+        engines["hot"].docmap.filter(F.col("content").contains("zzhot"))
+        .count()
+    )
+    assert df_hot == want and df_hot > N // 3
+    # one extra token per injected doc: the max group grows by at most
+    # the injected postings' share of one (slab, bucket) group, never
+    # to anything df-shaped
+    assert stats["hot"] <= stats["uniform"] + CFG.slab_size
+    # the hot term itself is salted: its postings arrive one chunk per
+    # slab, each bounded by the slab's docid range — no jumbo chunk
+    hot_chunks = (
+        engines["hot"].spark.read.parquet(
+            f"{engines['hot'].index_dir}/segments"
+        )
+        .filter(F.col("term") == "zzhot")
+        .select("slab", "df")
+        .collect()
+    )
+    assert len(hot_chunks) == int(engines["hot"].meta["n_slabs"])
+    assert all(r["df"] <= CFG.slab_size for r in hot_chunks)
+    # and the hot term is searchable with exact slab pruning intact
+    hits = engines["hot"].search_local("zzhot", 10)
+    assert len(hits) == 10
