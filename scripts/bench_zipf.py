@@ -91,16 +91,31 @@ def main() -> None:
             "group_rows_mean": int(sizes.mean()),
         }
 
-    # the salting claim, quantified: the hot build's biggest group must
-    # sit within noise of the uniform build's, never near df = N/2
+    # the salting claim, quantified (same bound the pytest pins,
+    # test_index_extras.py): a group's rows are the sum over ALL terms
+    # in that (slab, bucket) — organic tokens dominate — so the hot
+    # build's max group may exceed the uniform build's by at most one
+    # injected posting per doc in one slab (<= slab_size), never by
+    # anything df-shaped; and the hot term itself must arrive as one
+    # chunk per slab, each chunk's df <= slab_size.
     df_hot = args.docs // 2
     ratio = out["zipf_hot"]["group_rows_max"] / max(
         1, out["uniform"]["group_rows_max"]
     )
     out["max_group_ratio_hot_vs_uniform"] = round(ratio, 3)
     out["hot_df"] = df_hot
+    hot_chunks = (
+        spark.read.parquet(f"/tmp/sgb_zipf_zipf_hot_{args.docs}/segments")
+        .filter(F.col("term") == HOT)
+        .select("slab", "df")
+        .collect()
+    )
+    out["hot_term_chunks"] = len(hot_chunks)
+    out["hot_term_max_chunk_df"] = max(r["df"] for r in hot_chunks)
     out["bounded"] = bool(
-        out["zipf_hot"]["group_rows_max"] < 0.2 * df_hot and ratio < 1.5
+        out["zipf_hot"]["group_rows_max"]
+        <= out["uniform"]["group_rows_max"] + args.slab
+        and out["hot_term_max_chunk_df"] <= args.slab
     )
 
     # A7 inventory fast path agrees with ground truth on the hot term
