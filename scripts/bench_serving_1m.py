@@ -43,10 +43,19 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--passes", type=int, default=5)
     ap.add_argument("--slab", type=int, default=25_000)
-    ap.add_argument("--threads", type=int, default=0,
-                    help="serving_threads: 0=auto pool, 1=serial")
+    ap.add_argument("--threads", type=int, default=1,
+                    help="serving_threads: 1=serial (the measured-good "
+                         "mode; the pool convoys on the GIL), 0=auto pool")
     ap.add_argument("--compact", action="store_true",
                     help="splice-compact to one generation first")
+    ap.add_argument("--cache-bytes", type=int, default=0,
+                    help="serving_cache_max_bytes override (0 = engine "
+                         "default 1 GiB); size to hold the hot buckets "
+                         "like a real serving head sizes its shard cache")
+    ap.add_argument("--decoded-bytes", type=int, default=-1,
+                    help="serving_decoded_max_bytes override (-1 = "
+                         "engine default 2 GiB, 0 = disable the "
+                         "decoded-postings cache)")
     args = ap.parse_args()
 
     from search_engine_spark.config import EngineConfig
@@ -90,6 +99,10 @@ def main() -> None:
         open(compact_marker, "w").write("ok")
     eng = SearchEngine(spark, idx)
     eng.serving_threads = args.threads
+    if args.cache_bytes:
+        eng.serving_cache_max_bytes = args.cache_bytes
+    if args.decoded_bytes >= 0:
+        eng.serving_decoded_max_bytes = args.decoded_bytes
     n_docs = int(eng.meta["n_docs"])
 
     eng.search_local(QUERIES[0], 10)  # warm the dataset handle
@@ -179,6 +192,8 @@ def main() -> None:
             "build_sec": None if t_build is None else round(t_build, 1),
             "compact_sec": None if t_compact is None else round(t_compact, 1),
             "serving_threads": args.threads,
+            "cache_max_bytes": eng.serving_cache_max_bytes,
+            "decoded_max_bytes": eng.serving_decoded_max_bytes,
             "parallelism": args.cpus,
             "count_matches_docs": c_fast,
             "count_fast_ms": round(t_fast * 1000, 1),

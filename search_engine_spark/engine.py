@@ -37,6 +37,15 @@ class SearchEngine:
         # whichever bound (bucket count / byte budget) trips first.
         self.serving_cache_buckets = 16
         self.serving_cache_max_bytes = 1 << 30
+        # decoded-postings cache (r5): terms served while the bucket
+        # cache is on also keep their chunks' DECODED arrays (the
+        # TermChunk._full memo) on a per-term LRU, so a warm term pays
+        # zero varint work — the serving-head analog of Lucene leaning
+        # on the OS page cache plus its own per-segment term caches.
+        # Budget is exact (sum of memo array nbytes); 0 disables.
+        # Eviction drops the arrays only — the encoded rows stay in
+        # the bucket cache, so a re-miss costs one full decode, not IO.
+        self.serving_decoded_max_bytes = 2 << 30
         # per-query slab fan-out for the no-Spark serving paths.
         # MEASURED NEGATIVE RESULT (r5, 1.09M docs): slabs are
         # independent, but the WAND kernel is a Python loop over small
@@ -78,6 +87,10 @@ class SearchEngine:
 
         self._bucket_cache: "_OD[int, dict[str, list]]" = _OD()
         self._bucket_cache_nbytes: dict[int, int] = {}
+        # term -> (rows holding a "_chunk" TermChunk, decoded nbytes);
+        # generation-scoped exactly like the bucket cache above
+        self._decoded_cache: "_OD[str, tuple[list, int]]" = _OD()
+        self._decoded_nbytes = 0
         self._df_cache: dict[str, int] = {}
         self._dym_dict: tuple[int, set[str]] | None = None
         # S8 result cache: dropped wholesale per engine generation so a
@@ -823,6 +836,7 @@ class SearchEngine:
                 for t in ts:
                     if t in cached:
                         by_term[t] = cached[t]
+                        self._prime_decoded(t, cached[t])
             return by_term
         buckets = sorted({term_bucket_py(t, nb) for t in uniq})
         flt = ds.field("term").isin(uniq) & ds.field("bucket").isin(buckets)
@@ -833,6 +847,147 @@ class SearchEngine:
         for r in tab.to_pylist():
             by_term.setdefault(r["term"], []).append(r)
         return by_term
+
+    def _prime_decoded(self, term: str, rows: list) -> None:
+        """Attach a decoded ``TermChunk`` to each cached segment row of
+        ``term`` (LRU under ``serving_decoded_max_bytes``).
+
+        Priming eagerly full-decodes the chunk (``_decode_full`` — the
+        same arrays the kernel's adaptive memo would build), so every
+        later query on the term is pure vectorized scoring.  Values are
+        integers decoded once; whether the kernel then slices blocks or
+        takes whole arrays is bit-identical to decoding on demand
+        (codec.decode_blocks docstring).  The worst case — a term
+        queried once through a pruning-friendly plan — over-decodes by
+        at most one full pass, the same bound the adaptive memo accepts.
+        """
+        if self.serving_decoded_max_bytes <= 0:
+            return
+        dc = self._decoded_cache
+        ent = dc.get(term)
+        if ent is not None:
+            if ent["rows"] is rows:
+                dc.move_to_end(term)
+                return
+            # the term's bucket was evicted and reloaded: these are new
+            # row dicts — drop the stale entry and re-prime
+            for r in ent["rows"]:
+                r.pop("_chunk", None)
+            self._decoded_nbytes -= ent["nb"]
+            del dc[term]
+        import numpy as np
+
+        from search_engine_spark.indexer.codec import TermChunk
+
+        bs = int(self.meta["block_size"])
+        ss = int(self.meta["slab_size"])
+        nb = 0
+        gid_parts = []
+        for r in rows:
+            c = TermChunk(r["postings"], r["skips"], r["block_max"])
+            c._full = c._decode_full(bs)
+            nb += sum(int(a.nbytes) for a in c._full)
+            r["_chunk"] = c
+            gid_parts.append(c._full[0] + int(r["slab"]) * ss)
+        # the term's postings as ONE global array pair: docids here,
+        # tf-norm factors lazily on first scoring (keyed by avgdl) —
+        # the slab-fused scorer (_fused_dense) runs off these with no
+        # per-chunk Python loop in the query path
+        gids = (
+            gid_parts[0] if len(gid_parts) == 1
+            else np.concatenate(gid_parts)
+        )
+        nb += int(gids.nbytes)
+        nb += int(gids.nbytes)  # reserve for the f64 factor array
+        dc[term] = {
+            "rows": rows, "nb": nb, "gids": gids,
+            "fkey": None, "fac": None,
+        }
+        self._decoded_nbytes += nb
+        while len(dc) > 1 and (
+            self._decoded_nbytes > self.serving_decoded_max_bytes
+        ):
+            _, old = dc.popitem(last=False)
+            for r in old["rows"]:
+                r.pop("_chunk", None)
+            self._decoded_nbytes -= old["nb"]
+
+    def _fused_dense(
+        self, by_term: dict[str, list], by_slab: dict[int, list],
+        idf: dict[str, float], k: int,
+    ) -> "list[tuple[int, float]] | None":
+        """All-slabs-dense fast path for ``search_local`` (OR mode):
+        one ``fused_dense_topk`` call over the whole docid space
+        instead of a per-slab kernel loop + merge.
+
+        Fires only when EVERY candidate slab's chunk set satisfies the
+        same density rule that dispatches ``slab_topk`` to its
+        exhaustive scorer — fusion then computes the identical per-doc
+        float sums in the identical order (parts iterate ``by_term``
+        exactly as the by_slab rows were appended; within one term the
+        docids are disjoint, so intra-term order cannot change any
+        sum), so results are BIT-IDENTICAL to the per-slab path
+        (pinned in pytest).  Gated off with the decoded cache (scan
+        mode keeps bounded memory) and when candidate slabs cover
+        <50% of the docid space (the dense global array would be
+        mostly gap)."""
+        if self.serving_decoded_max_bytes <= 0 or len(by_slab) < 2:
+            return None
+        import numpy as np
+
+        from search_engine_spark.query.wand import fused_dense_topk
+
+        m = self.meta
+        ss, bs = int(m["slab_size"]), int(m["block_size"])
+        n_grid = (ss + bs - 1) // bs
+
+        def nb(r) -> int:
+            c = r.get("_chunk")
+            if c is not None:
+                return int(c.n_blocks)
+            return int(np.frombuffer(r["skips"][:4], dtype=np.int32)[0])
+
+        for rs in by_slab.values():
+            if 10 * sum(nb(r) for r in rs) < min(
+                20 * n_grid, 9 * n_grid * len(rs)
+            ):
+                return None
+        max_slab = max(by_slab)
+        if 2 * len(by_slab) < max_slab + 1:
+            return None
+        k1, b_, avgdl = float(m["k1"]), float(m["b"]), float(m["avgdl"])
+        fkey = (k1, b_, avgdl)
+        parts = []
+        for t, rows_t in by_term.items():
+            if t not in idf:
+                continue
+            ent = self._decoded_cache.get(t)
+            if ent is None or ent["rows"] is not rows_t:
+                return None  # not primed (e.g. race with eviction)
+            if ent["fac"] is None or ent["fkey"] != fkey:
+                from search_engine_spark.indexer.codec import (
+                    tf_norm_factor,
+                )
+
+                # same per-chunk tf_norm_factor floats the per-slab
+                # kernels compute, concatenated in the rows' order
+                fac_parts = [
+                    tf_norm_factor(
+                        r["_chunk"]._full[1], r["_chunk"]._full[2],
+                        k1, b_, avgdl,
+                    )
+                    for r in rows_t
+                ]
+                ent["fac"] = (
+                    fac_parts[0] if len(fac_parts) == 1
+                    else np.concatenate(fac_parts)
+                )
+                ent["fkey"] = fkey
+            parts.append((ent["gids"], idf[t], ent["fac"]))
+        ids, sc = fused_dense_topk(
+            parts, (max_slab + 1) * ss, k,
+        )
+        return list(zip(ids.tolist(), sc.tolist()))
 
     def _run_slabs(self, by_slab: dict[int, list], score_one):
         """Run ``score_one(slab, rows) -> (ids, scores)`` over every
@@ -910,12 +1065,16 @@ class SearchEngine:
             if t in idf:
                 for r in rows_t:
                     by_slab.setdefault(int(r["slab"]), []).append(r)
+        fused = self._fused_dense(by_term, by_slab, idf, k)
+        if fused is not None:
+            return fused
         bound_scale = max(1.0, float(m["avgdl"]) / float(m["norm_avgdl"]))
 
         def score_one(slab: int, rs: list):
             chunks = [
                 (
-                    TermChunk(r["postings"], r["skips"], r["block_max"]),
+                    r.get("_chunk")
+                    or TermChunk(r["postings"], r["skips"], r["block_max"]),
                     idf[r["term"]],
                 )
                 for r in rs
@@ -1020,7 +1179,8 @@ class SearchEngine:
         def score_one(slab: int, rs: list):
             chunks = [
                 (
-                    TermChunk(r["postings"], r["skips"], r["block_max"]),
+                    r.get("_chunk")
+                    or TermChunk(r["postings"], r["skips"], r["block_max"]),
                     widf[r["term"]],
                     info[r["term"]][1],
                     info[r["term"]][2],
@@ -1123,7 +1283,9 @@ class SearchEngine:
         def score_one(slab: int, rs: list):
             chunks = []
             for r in rs:
-                c = TermChunk(r["postings"], r["skips"], r["block_max"])
+                c = r.get("_chunk") or TermChunk(
+                    r["postings"], r["skips"], r["block_max"]
+                )
                 for w, avgdl_f, bsc, clause, fld in info[r["term"]]:
                     chunks.append(
                         (c, w * idf[r["term"]], avgdl_f, bsc, clause,

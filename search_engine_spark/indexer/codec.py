@@ -99,7 +99,7 @@ class TermChunk:
 
     __slots__ = ("postings", "n_blocks", "block_ids", "start_idx",
                  "off_d", "off_t", "off_l", "block_max", "df",
-                 "_d", "_t", "_l", "_full", "_total")
+                 "_d", "_t", "_l", "_full", "_total", "_fnorm")
 
     def __init__(self, postings: bytes, skips: bytes, block_max: bytes):
         self.postings = postings
@@ -122,6 +122,7 @@ class TermChunk:
         self.df = None  # set by caller if needed
         self._full = None  # adaptive full-decode memo (decode_blocks)
         self._total = None  # memoized posting count (_count_total)
+        self._fnorm = None  # memoized tf-norm factors (factor_all)
 
     def _slices(self, sel: np.ndarray, off: np.ndarray, stream: np.ndarray):
         if len(sel) == 0:
@@ -229,6 +230,24 @@ class TermChunk:
 
     def decode_all(self, block_size: int):
         return self.decode_blocks(np.arange(self.n_blocks), block_size)
+
+    def factor_all(self, block_size: int, k1: float, b: float, avgdl: float):
+        """(local docids, BM25 tf-norm factors) for the whole chunk.
+
+        The factor ``tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))`` is
+        query-INDEPENDENT (tf/dl are stored per posting; k1/b/avgdl are
+        per-index/per-field constants), so it is memoized per
+        ``(k1, b, avgdl)`` — the serving-head analog of Lucene
+        precomputing norms/impacts at index time.  Same
+        ``tf_norm_factor`` call either way, so scores are bit-identical
+        to computing it per query."""
+        key = (k1, b, avgdl)
+        if self._full is None:
+            self._full = self._decode_full(block_size)
+        local, tf, dl = self._full[0], self._full[1], self._full[2]
+        if self._fnorm is None or self._fnorm[0] != key:
+            self._fnorm = (key, tf_norm_factor(tf, dl, k1, b, avgdl))
+        return local, self._fnorm[1]
 
 
 def splice_merge(chunks: list[tuple[bytes, bytes, bytes]]):

@@ -241,3 +241,133 @@ def test_local_bucket_cache_modes_and_invalidation(engine, oracle):
     engine.refresh()
     assert not engine._bucket_cache  # generation bump drops the cache
     assert engine.search_local(queries[0], 10) == warm[queries[0]]
+
+
+def test_decoded_postings_cache_parity_and_eviction(engine, oracle):
+    """The decoded-postings cache (serving_decoded_max_bytes > 0) must
+    serve results identical to decode-on-demand, account its memo
+    bytes, evict under a tiny budget, and drop on refresh()."""
+    queries = ["java search", "merge", "database index algorithm", "java"]
+    engine.refresh()
+    try:
+        engine.serving_decoded_max_bytes = 0  # decode-on-demand baseline
+        base = {q: engine.search_local(q, 10) for q in queries}
+        assert not engine._decoded_cache
+        for q in queries:
+            assert base[q] == [
+                (d, pytest.approx(s, rel=1e-9))
+                for d, s in oracle.search(q, 10)
+            ]
+    finally:
+        engine.serving_decoded_max_bytes = 2 << 30
+    engine.refresh()
+    for q in queries:  # priming pass
+        assert engine.search_local(q, 10) == base[q]
+    assert engine._decoded_cache and engine._decoded_nbytes > 0
+    for ent in engine._decoded_cache.values():
+        assert ent["nb"] > 0 and len(ent["gids"])
+        assert all(r["_chunk"]._full is not None for r in ent["rows"])
+    for q in queries:  # warm pass: scored from the decoded arrays
+        assert engine.search_local(q, 10) == base[q]
+    # a 1-byte budget forces eviction down to the newest term; results
+    # must not change and evicted rows must lose their chunk handles
+    engine.refresh()
+    try:
+        engine.serving_decoded_max_bytes = 1
+        for q in queries:
+            assert engine.search_local(q, 10) == base[q]
+        assert len(engine._decoded_cache) == 1
+        (ent,) = engine._decoded_cache.values()
+        assert engine._decoded_nbytes == ent["nb"]
+        held = {id(r) for r in ent["rows"]}
+        for bucket in engine._bucket_cache.values():
+            for t_rows in bucket.values():
+                for r in t_rows:
+                    if id(r) not in held:
+                        assert "_chunk" not in r
+    finally:
+        engine.serving_decoded_max_bytes = 2 << 30
+    # generation safety: refresh drops the decoded cache wholesale
+    engine.refresh()
+    assert not engine._decoded_cache and engine._decoded_nbytes == 0
+    assert engine.search_local(queries[0], 10) == base[queries[0]]
+
+
+def test_dense_single_term_takes_exhaustive_path(engine, oracle):
+    """r5 dispatch widening: a dense SINGLE-term query (chunks cover
+    >=90% of the block grid) routes to the exhaustive scorer and stays
+    rank- and score-identical to the brute-force oracle."""
+    from search_engine_spark.indexer.codec import TermChunk
+    from search_engine_spark.query import wand
+
+    hot = max(oracle.postings.items(), key=lambda kv: len(kv[1]))[0]
+    # confirm the fixture corpus really makes this a dense case for at
+    # least one slab: chunk blocks >= 0.9 * grid
+    seg = engine.spark.read.parquet(f"{engine.index_dir}/segments")
+    row = (
+        seg.filter(F.col("term") == hot)
+        .orderBy(F.desc("df")).limit(1).collect()[0]
+    )
+    c = TermChunk(bytes(row["postings"]), bytes(row["skips"]),
+                  bytes(row["block_max"]))
+    n_grid = (CFG.slab_size + CFG.block_size - 1) // CFG.block_size
+    assert 10 * c.n_blocks >= 9 * n_grid  # the new trigger fires
+    calls = []
+    orig = wand._exhaustive_topk
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    wand._exhaustive_topk = spy
+    engine.refresh()
+    try:
+        # fusion would otherwise swallow the dense case whole; gate it
+        # off so the per-slab slab_topk dispatch is what's under test
+        engine.serving_decoded_max_bytes = 0
+        got = engine.search_local(hot, 10)
+    finally:
+        wand._exhaustive_topk = orig
+        engine.serving_decoded_max_bytes = 2 << 30
+    assert calls, "dense single-term query did not dispatch exhaustive"
+    want = oracle.search(hot, 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-9)
+
+
+def test_fused_dense_path_bit_identical_to_per_slab(engine, oracle):
+    """When every candidate slab is dense, search_local dispatches the
+    slab-fused scorer; forcing the per-slab path (fusion gates off with
+    the decoded cache) must give BIT-identical (docid, score) lists."""
+    from search_engine_spark.query import wand
+
+    queries = ["java", "java search", "database index merge table"]
+    engine.refresh()
+    fused_calls = []
+    orig = wand.fused_dense_topk
+
+    def spy(*a, **kw):
+        fused_calls.append(1)
+        return orig(*a, **kw)
+
+    wand.fused_dense_topk = spy
+    try:
+        fused = {q: engine.search_local(q, 10) for q in queries}
+    finally:
+        wand.fused_dense_topk = orig
+    assert fused_calls, "no query took the fused dense path"
+    engine.refresh()
+    try:
+        engine.serving_decoded_max_bytes = 0  # forces per-slab kernels
+        for q in queries:
+            assert engine.search_local(q, 10) == fused[q], q
+    finally:
+        engine.serving_decoded_max_bytes = 2 << 30
+    engine.refresh()
+    # and both agree with the brute-force oracle
+    for q in queries:
+        want = oracle.search(q, 10)
+        assert [d for d, _ in fused[q]] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(fused[q], want):
+            assert gs == pytest.approx(ws, rel=1e-9), q
