@@ -99,18 +99,68 @@ def neardup_candidates(sig: DataFrame) -> DataFrame:
     )
 
 
+def shingle_hash_sets(docs_toks: DataFrame) -> DataFrame:
+    """(docid, sh): sorted distinct 60-bit shingle hashes per doc.
+
+    The exact-verify join's payload: int64 hashes instead of the
+    shingle STRINGS (~4-6x smaller shuffle per candidate side at
+    3-token shingles).  Set Jaccard over the hashes equals the
+    string-set Jaccard unless two distinct shingles collide in the
+    60-bit md5-prefix space (~n^2/2^61 per doc pair)."""
+    return docs_toks.select(
+        "docid",
+        F.sort_array(
+            F.array_distinct(
+                F.transform(shingles_col("toks"), shingle_base_hash)
+            )
+        ).alias("sh"),
+    )
+
+
 def neardup_pairs(
-    docs_toks: DataFrame, threshold: float = JACCARD_THRESHOLD
+    docs_toks: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    verify: str = "exact",
 ) -> DataFrame:
     """Verified near-dup pairs (docid_a, docid_b, jaccard).
 
-    Exact shingle-set Jaccard computed ONLY on LSH candidates.
-    """
+    verify="exact" (default): exact shingle-set Jaccard computed ONLY
+    on LSH candidates, over 60-bit hash sets (see shingle_hash_sets).
+
+    verify="estimate": signature-level fallback — jaccard is estimated
+    as the fraction of the MINHASH_K signature components that agree,
+    so nothing heavier than the 16-component signatures ever ships.
+    Use when a pathological band value explodes the candidate count
+    (e.g. a boilerplate shingle shared corpus-wide) and shipping even
+    hashed sets per candidate would dominate the shuffle; the estimate
+    is unbiased with std ~= sqrt(J(1-J)/K)."""
     sig = minhash_signatures(docs_toks)
     cand = neardup_candidates(sig)
-    sets_ = docs_toks.select(
-        "docid", F.sort_array(shingles_col("toks")).alias("sh")
-    )
+    if verify == "estimate":
+        sa = sig.select(
+            F.col("docid").alias("docid_a"), "i", F.col("minhash").alias("mh_a")
+        )
+        sb = sig.select(
+            F.col("docid").alias("docid_b"), "i", F.col("minhash").alias("mh_b")
+        )
+        return (
+            cand.join(sa, "docid_a")
+            .join(sb, ["docid_b", "i"])
+            .groupBy("docid_a", "docid_b")
+            .agg(
+                (
+                    F.sum((F.col("mh_a") == F.col("mh_b")).cast("int"))
+                    / F.lit(MINHASH_K)
+                ).alias("jaccard")
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select(
+                "docid_a", "docid_b", F.round("jaccard", 5).alias("jaccard")
+            )
+        )
+    if verify != "exact":
+        raise ValueError(f"verify must be 'exact' or 'estimate': {verify}")
+    sets_ = shingle_hash_sets(docs_toks)
     return (
         cand.join(sets_.withColumnRenamed("docid", "docid_a").withColumnRenamed("sh", "sh_a"), "docid_a")
         .join(sets_.withColumnRenamed("docid", "docid_b").withColumnRenamed("sh", "sh_b"), "docid_b")

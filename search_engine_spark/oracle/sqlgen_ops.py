@@ -129,8 +129,11 @@ def minhash_neardup_sql() -> str:
         "cand AS (SELECT DISTINCT a.docid AS docid_a, b.docid AS docid_b "
         "FROM bands a JOIN bands b ON a.band = b.band "
         "AND a.band_val = b.band_val AND a.docid < b.docid), "
-        "sets_ AS (SELECT docid, list_sort(list_distinct(shingles)) AS sh "
-        "FROM sh0), "
+        # hash-set verify twin (ops/minhash.shingle_hash_sets): 60-bit
+        # md5-prefix hashes instead of shingle strings
+        "sets_ AS (SELECT docid, list_sort(list(DISTINCT "
+        "('0x' || substr(md5(shingle), 1, 15))::BIGINT)) AS sh "
+        "FROM sh GROUP BY docid), "
         "verified AS (SELECT c.docid_a, c.docid_b, "
         "len(list_intersect(sa.sh, sb.sh)) * 1.0 / "
         "len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard "
