@@ -103,8 +103,10 @@ def shingle_hash_sets(docs_toks: DataFrame) -> DataFrame:
     """(docid, sh): sorted distinct 60-bit shingle hashes per doc.
 
     The exact-verify join's payload: int64 hashes instead of the
-    shingle STRINGS (~4-6x smaller shuffle per candidate side at
-    3-token shingles).  Set Jaccard over the hashes equals the
+    shingle STRINGS — avg_shingle_bytes/8 smaller per candidate side
+    (measured 2.0x on the sf0.1 fixture corpus, more on real code
+    where 3-token shingles run longer; BENCH/minhash_verify.jsonl).
+    Set Jaccard over the hashes equals the
     string-set Jaccard unless two distinct shingles collide in the
     60-bit md5-prefix space (~n^2/2^61 per doc pair)."""
     return docs_toks.select(
