@@ -5,8 +5,10 @@ BMP, AND 8-bit non-interlaced PNG (all five row filters, color types
 gray/RGB/palette/gray+alpha/RGBA — zlib inflate is Python stdlib, so
 "compressed codec" was never a real blocker for PNG) decode for REAL
 in pure numpy (``decode_image``/``resize_image``/``decode_features``,
-no PIL needed).  JPEG/GIF/WebP require an entropy decoder (Huffman /
-LZW / VP8) that is not in this container and raise a documented
+no PIL needed).  Baseline JPEG (Huffman, ``ops/jpeg.py``) and GIF
+(LZW, ``ops/gif.py``) decode for real too, each pinned by an in-repo
+encoder twin.  WebP (VP8) and progressive/arithmetic JPEG require an
+entropy decoder that is not in this container and raise a documented
 NotImplementedError; install pillow and extend the ``decode_image``
 dispatch to add them.  The Spark-side plumbing is real and tested
 either way: binary columns flow through Arrow `mapInPandas` in
@@ -72,9 +74,14 @@ def decode_image(payload: bytes) -> np.ndarray:
       with restarts, dequant + IDCT, subsampling, JFIF YCbCr->RGB;
       ops/jpeg.py)               -> (H, W) / (H, W, 3) uint8
 
-    GIF (LZW) and WebP (VP8) stay behind the documented
-    NotImplementedError, as do progressive/arithmetic JPEG — install
-    pillow and extend this dispatch.
+    - GIF 87a/89a (variable-width LZW, interlace, local/global
+      palettes, transparency + disposal compositing; first frame via
+      ``decode_gif``, all frames via ``ops.gif.decode_gif_frames``;
+      ops/gif.py)                -> (H, W, 3) uint8
+
+    WebP (VP8) stays behind the documented NotImplementedError, as do
+    progressive/arithmetic JPEG — install pillow and extend this
+    dispatch.
     """
     buf = bytes(payload)
     if buf[:2] in (b"P6", b"P5"):
@@ -87,13 +94,15 @@ def decode_image(payload: bytes) -> np.ndarray:
         from search_engine_spark.ops.jpeg import decode_jpeg
 
         return decode_jpeg(buf)
-    fmt = "gif" if buf[:3] == b"GIF" else (
-        "webp" if buf[:3] == b"RIF" else "unknown"
-    )
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        from search_engine_spark.ops.gif import decode_gif
+
+        return decode_gif(buf)
+    fmt = "webp" if buf[:4] == b"RIFF" else "unknown"
     raise NotImplementedError(
         f"compressed codec ({fmt}): entropy decode needs pillow/libvips "
-        "(not in this container); PPM/PGM/BMP/PNG/baseline-JPEG decode "
-        "here is real"
+        "(not in this container); PPM/PGM/BMP/PNG/baseline-JPEG/GIF "
+        "decode here is real"
     )
 
 
@@ -355,9 +364,9 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Decode (PPM/PGM/BMP/PNG — see ``decode_image``), nearest-
-    neighbor resize, re-encode as binary PPM/PGM (alpha dropped for
-    2/4-channel sources).  JPEG/GIF/WebP inputs raise the same
+    """Decode (PPM/PGM/BMP/PNG/JPEG/GIF — see ``decode_image``),
+    nearest-neighbor resize, re-encode as binary PPM/PGM (alpha
+    dropped for 2/4-channel sources).  WebP inputs raise the same
     documented NotImplementedError as ``decode_image``."""
     a = decode_image(payload)
     if a.ndim == 3 and a.shape[2] == 2:

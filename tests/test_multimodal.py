@@ -24,17 +24,18 @@ def test_media_schema_and_stats(media):
 
 
 def test_decode_entropy_codecs_still_raise():
-    # GIF/WebP entropy codecs stay behind the documented stub (no
-    # pillow here); PNG (r4) and baseline JPEG (r5) no longer do.
-    for magic in (b"GIF89a", b"RIFFxxxxWEBP"):
-        with pytest.raises(NotImplementedError):
-            mm.decode_image(magic + b"\x00" * 32)
+    # WebP stays behind the documented stub (no pillow here); PNG
+    # (r4), baseline JPEG (r5) and GIF (r5) no longer do.
     with pytest.raises(NotImplementedError):
-        mm.resize_image(b"GIF89a" + b"\x00" * 32, 64, 64)
-    # truncated baseline JPEG is a ValueError (quarantined row-wise),
-    # not a hard NotImplementedError
+        mm.decode_image(b"RIFFxxxxWEBP" + b"\x00" * 32)
+    with pytest.raises(NotImplementedError):
+        mm.resize_image(b"RIFFxxxxWEBP" + b"\x00" * 32, 64, 64)
+    # truncated baseline JPEG / garbage GIF bodies are ValueErrors
+    # (quarantined row-wise), not hard NotImplementedErrors
     with pytest.raises(ValueError):
         mm.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    with pytest.raises(ValueError):
+        mm.decode_image(b"GIF89a" + b"\x00" * 32)
 
 
 def _gradient(h, w):
@@ -409,4 +410,159 @@ def test_jpeg_spark_end_to_end(spark):
         dec = J.decode_jpeg(J.encode_jpeg(img))
         want = (dec[:, :, 0] * 0.299 + dec[:, :, 1] * 0.587
                 + dec[:, :, 2] * 0.114).mean()
+        assert f["mean_luma"] == pytest.approx(float(want), rel=1e-9)
+
+
+# --- GIF (round 5: ops/gif.py) ----------------------------------------------
+
+def _palettized(rng, h, w, n_colors):
+    pal = np.unique(
+        rng.randint(0, 256, (n_colors * 2, 3), dtype=np.uint8), axis=0
+    )[:n_colors]
+    return pal, pal[rng.randint(0, len(pal), (h, w))]
+
+
+def test_gif_static_roundtrips_bit_exact():
+    """GIF is lossless on palettized content, so unlike the JPEG twin
+    these pins are BIT-EXACT: RGB, grayscale, interlaced, GIF87a, and
+    the decode_image/resize_image dispatch seam."""
+    from search_engine_spark.ops import gif as G
+
+    rng = np.random.RandomState(7)
+    pal, img = _palettized(rng, 23, 31, 7)
+    assert np.array_equal(G.decode_gif(G.encode_gif(img)), img)
+    assert np.array_equal(mm.decode_image(G.encode_gif(img)), img)
+    assert np.array_equal(
+        mm.decode_image(G.encode_gif(img, version=b"GIF87a")), img)
+    # interlaced: 4-pass row order inverts exactly
+    assert np.array_equal(
+        G.decode_gif(G.encode_gif(img, interlace=True)), img)
+    # grayscale 2D input -> (H, W, 3)
+    g = rng.randint(0, 256, (9, 14)).astype(np.uint8)
+    assert np.array_equal(
+        G.decode_gif(G.encode_gif(g)), np.stack([g] * 3, axis=2))
+    # resize seam re-encodes as PPM
+    out = mm.decode_image(mm.resize_image(G.encode_gif(img), 8, 6))
+    assert out.shape == (6, 8, 3)
+
+
+def test_gif_lzw_dictionary_reset(monkeypatch):
+    """A 24k-pixel 256-color noise image overflows the 4096-entry LZW
+    table, forcing the encoder's mid-stream CLEAR + the decoder's
+    deferred-clear handling; the roundtrip stays bit-exact.  The
+    monkeypatched counter pins that the reset path actually ran."""
+    from search_engine_spark.ops import gif as G
+
+    rng = np.random.RandomState(11)
+    pal, big = _palettized(rng, 120, 200, 256)
+    resets = []
+    orig = G._LzwEncoder._reset
+    monkeypatch.setattr(
+        G._LzwEncoder, "_reset",
+        lambda self: (resets.append(1), orig(self)) and None)
+    enc = G.encode_gif(big)
+    assert len(resets) > 1, "mid-stream LZW reset never fired"
+    assert np.array_equal(G.decode_gif(enc), big)
+
+
+def test_gif_animation_disposal_and_transparency():
+    """Multi-frame compositing against a numpy reference compositor:
+    disposal 0 (keep), 2 (restore background), 3 (restore previous),
+    and a transparent color that leaves the canvas untouched."""
+    from search_engine_spark.ops import gif as G
+
+    rng = np.random.RandomState(13)
+    pal, base = _palettized(rng, 10, 12, 7)
+    patch = pal[rng.randint(0, len(pal), (4, 5))]
+    tcolor = tuple(int(c) for c in pal[3])
+    frames = [
+        (base, 0, 0, 0, None),
+        (patch, 3, 2, 2, tcolor),   # transparency + restore-background
+        (patch, 1, 1, 3, None),     # restore-previous
+        (patch, 6, 4, 0, None),     # keep
+    ]
+    out = G.decode_gif_frames(G.encode_gif(frames=frames, loop=0))
+    assert out.shape == (4, 10, 12, 3)
+    assert np.array_equal(out[0], base)
+    # frame 1: patch at (top=2, left=3), transparent pixels keep base
+    exp1 = base.copy()
+    opaque = ~(patch == np.asarray(tcolor, np.uint8)).all(axis=2)
+    exp1[2:6, 3:8][opaque] = patch[opaque]
+    assert np.array_equal(out[1], exp1)
+    # frame 2: disposal 2 restored frame 1's region to the background
+    # color (palette row 0 = smallest packed color, bg_index 0), then
+    # frame 2 drew at (1,1)
+    bg = np.unique(
+        np.concatenate([base.reshape(-1, 3), patch.reshape(-1, 3)]), axis=0
+    )[0]
+    canvas = exp1.copy()
+    canvas[2:6, 3:8] = bg
+    exp2 = canvas.copy()
+    exp2[1:5, 1:6] = patch
+    assert np.array_equal(out[2], exp2)
+    # frame 3: disposal 3 on frame 2 restored the pre-frame-2 canvas
+    exp3 = canvas.copy()
+    exp3[4:8, 6:11] = patch
+    assert np.array_equal(out[3], exp3)
+
+
+def test_gif_out_of_scope_and_corrupt():
+    from search_engine_spark.ops import gif as G
+
+    rng = np.random.RandomState(17)
+    # >256 distinct colors: quantization is out of scope on encode
+    y, x = np.mgrid[0:32, 0:32]
+    many = np.stack([y * 8, x * 8, (y + x) % 256], axis=-1).astype(np.uint8)
+    with pytest.raises(ValueError, match="256"):
+        G.encode_gif(many)
+    # corrupt bodies are quarantinable ValueErrors
+    pal, img = _palettized(rng, 23, 31, 7)
+    enc = G.encode_gif(img)
+    with pytest.raises(ValueError):
+        G.decode_gif(enc[: len(enc) // 2])   # truncated sub-blocks
+    with pytest.raises(ValueError):
+        G.decode_gif(enc[:-1])               # missing trailer
+    with pytest.raises(ValueError):
+        G.decode_gif(b"NOTGIF" + enc[6:])    # bad magic
+
+
+def test_gif_spark_end_to_end(spark):
+    """GIF payloads through the real mapInPandas feature extractor:
+    decoded dims/luma match numpy; a corrupt body quarantines ok=false
+    without failing the task."""
+    import pandas as pd
+
+    from search_engine_spark.ops import gif as G
+
+    rng = np.random.RandomState(19)
+    imgs = {
+        i: _palettized(rng, 16 + i % 3, 17 + i % 4, 5 + i)[1]
+        for i in range(8)
+    }
+    payloads = [G.encode_gif(img) for img in imgs.values()]
+    payloads[5] = payloads[5][:40]  # corrupt one body
+    pdf = pd.DataFrame(
+        {
+            "media_id": list(imgs),
+            "media_type": ["image/gif"] * len(imgs),
+            "media": payloads,
+            "width": [img.shape[1] for img in imgs.values()],
+            "height": [img.shape[0] for img in imgs.values()],
+            "n_bytes": [0] * len(imgs),
+        }
+    )
+    media = spark.createDataFrame(pdf, schema=mm.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in mm.decode_features(media).collect()}
+    assert len(feats) == len(imgs)
+    assert not feats[5]["ok"]
+    for i, img in imgs.items():
+        if i == 5:
+            continue
+        f = feats[i]
+        assert f["ok"]
+        assert (f["width"], f["height"], f["channels"]) == (
+            img.shape[1], img.shape[0], 3,
+        )
+        want = (img[:, :, 0] * 0.299 + img[:, :, 1] * 0.587
+                + img[:, :, 2] * 0.114).mean()
         assert f["mean_luma"] == pytest.approx(float(want), rel=1e-9)
