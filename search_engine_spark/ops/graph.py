@@ -36,11 +36,14 @@ def pagerank(
         .distinct()
     )
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # hoisted out of the loop: the (src, dst, outdeg) list is loop-
+    # invariant, so joining outdeg per iteration just re-runs the
+    # same join `iters` times (same arithmetic either way)
+    edges_w = edges.join(outdeg, "src")
     ranks = nodes.withColumn("score", F.lit(1.0))
     for _ in range(iters):
         contribs = (
-            ranks.join(edges, ranks.node == edges.src)
-            .join(outdeg, "src")
+            ranks.join(edges_w, ranks.node == edges_w.src)
             .select(
                 F.col("dst").alias("node"),
                 (F.col("score") / F.col("outdeg")).alias("c"),
@@ -127,11 +130,24 @@ def pagerank_converged(
 
     Returns (ranks, iterations_run).  The fixed-iteration
     ``pagerank`` remains the contract/oracle entry (DuckDB unrolls a
-    fixed loop); this mode serves production use.  Each iteration
-    costs one extra scalar L1 aggregate; ``localCheckpoint`` every
-    ``checkpoint_every`` iterations truncates plan lineage, which
-    otherwise grows linearly and stalls the optimizer on long runs
-    (on a cluster, use checkpoint() with a reliable dir instead).
+    fixed loop); this mode serves production use.
+
+    Per-iteration plan shape (the 100 TB concern): the outdeg join is
+    hoisted OUT of the loop into a weighted edge list materialized
+    once, co-partitioned on src; ranks arrive at the contribution
+    join already hash-partitioned on node (= the join key) from the
+    previous iteration's groupBy, so the ONLY shuffle per iteration
+    is the contribution groupBy — the transfer along edges, which no
+    PageRank can avoid.  The previous score rides through the step
+    join, so the L1 delta aggregates over the SAME persisted frame
+    the next iteration reads: one materializing job per iteration
+    instead of re-executing lineage back to the last checkpoint
+    (which made iteration cost grow with ``i % checkpoint_every``).
+    Each step unpersists its predecessor once materialized;
+    ``localCheckpoint`` every ``checkpoint_every`` iterations
+    truncates the logical plan, which otherwise grows linearly and
+    stalls the optimizer on long runs (on a cluster, use
+    checkpoint() with a reliable dir instead).
     """
     edges = edges.select("src", "dst").distinct()
     nodes = (
@@ -140,12 +156,21 @@ def pagerank_converged(
         .distinct()
     )
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    ranks = nodes.withColumn("score", F.lit(1.0)).localCheckpoint(eager=True)
+    edges_w = (
+        edges.join(outdeg, "src")
+        .repartition(F.col("src"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = (
+        nodes.withColumn("score", F.lit(1.0))
+        .repartition(F.col("node"))
+        .localCheckpoint(eager=True)
+    )
     iters_run = 0
+    prev_step = None  # persisted frame the current `ranks` reads from
     for i in range(max_iters):
         contribs = (
-            ranks.join(edges, ranks.node == edges.src)
-            .join(outdeg, "src")
+            ranks.join(edges_w, ranks.node == edges_w.src)
             .select(
                 F.col("dst").alias("node"),
                 (F.col("score") / F.col("outdeg")).alias("c"),
@@ -153,21 +178,30 @@ def pagerank_converged(
             .groupBy("node")
             .agg(F.sum("c").alias("csum"))
         )
-        new_ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            (
-                F.lit(1.0 - d) + F.lit(d) * F.coalesce("csum", F.lit(0.0))
-            ).alias("score"),
+        step = (
+            ranks.select("node", F.col("score").alias("prev"))
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                "prev",
+                (
+                    F.lit(1.0 - d)
+                    + F.lit(d) * F.coalesce("csum", F.lit(0.0))
+                ).alias("score"),
+            )
+            .persist()
         )
+        delta = step.agg(
+            F.sum(F.abs(F.col("score") - F.col("prev"))).alias("l1")
+        ).collect()[0]["l1"]
+        ranks = step.select("node", "score")
         if (i + 1) % checkpoint_every == 0:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
-        delta = (
-            new_ranks.withColumnRenamed("score", "new")
-            .join(ranks, "node")
-            .agg(F.sum(F.abs(F.col("new") - F.col("score"))).alias("l1"))
-            .collect()[0]["l1"]
-        )
-        ranks = new_ranks
+            ranks = ranks.localCheckpoint(eager=True)
+            step.unpersist()
+            step = None
+        if prev_step is not None:
+            prev_step.unpersist()
+        prev_step = step
         iters_run = i + 1
         if delta is not None and float(delta) < eps:
             break
