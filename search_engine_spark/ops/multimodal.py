@@ -5,12 +5,13 @@ BMP, AND 8-bit non-interlaced PNG (all five row filters, color types
 gray/RGB/palette/gray+alpha/RGBA — zlib inflate is Python stdlib, so
 "compressed codec" was never a real blocker for PNG) decode for REAL
 in pure numpy (``decode_image``/``resize_image``/``decode_features``,
-no PIL needed).  Baseline JPEG (Huffman, ``ops/jpeg.py``) and GIF
-(LZW, ``ops/gif.py``) decode for real too, each pinned by an in-repo
-encoder twin.  WebP (VP8) and progressive/arithmetic JPEG require an
-entropy decoder that is not in this container and raise a documented
-NotImplementedError; install pillow and extend the ``decode_image``
-dispatch to add them.  The Spark-side plumbing is real and tested
+no PIL needed).  Baseline JPEG (Huffman, ``ops/jpeg.py``), GIF (LZW,
+``ops/gif.py``) and lossless WebP (VP8L subset, ``ops/webp.py``)
+decode for real too, each pinned by an in-repo encoder twin.  Lossy
+VP8, the VP8L cross-color transform, and progressive/arithmetic JPEG
+require entropy decoders that are not in this container and raise a
+documented NotImplementedError; install pillow and extend the
+``decode_image`` dispatch to add them.  The Spark-side plumbing is real and tested
 either way: binary columns flow through Arrow `mapInPandas` in
 bounded batches, schemas are explicit, bad payloads are quarantined
 row-wise (``ok=false``), and the partitioning story (repartition by
@@ -78,10 +79,13 @@ def decode_image(payload: bytes) -> np.ndarray:
       palettes, transparency + disposal compositing; first frame via
       ``decode_gif``, all frames via ``ops.gif.decode_gif_frames``;
       ops/gif.py)                -> (H, W, 3) uint8
+    - WebP lossless (VP8L subset: prefix codes, color cache, LZ77
+      long-distance refs, subtract-green / palette / predictor
+      transforms; ops/webp.py)   -> (H, W, 3) / (H, W, 4) uint8
 
-    WebP (VP8) stays behind the documented NotImplementedError, as do
-    progressive/arithmetic JPEG — install pillow and extend this
-    dispatch.
+    Lossy VP8, the VP8L cross-color transform and near-distance
+    codes, and progressive/arithmetic JPEG stay behind documented
+    NotImplementedErrors — install pillow and extend this dispatch.
     """
     buf = bytes(payload)
     if buf[:2] in (b"P6", b"P5"):
@@ -98,11 +102,14 @@ def decode_image(payload: bytes) -> np.ndarray:
         from search_engine_spark.ops.gif import decode_gif
 
         return decode_gif(buf)
-    fmt = "webp" if buf[:4] == b"RIFF" else "unknown"
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+        from search_engine_spark.ops.webp import decode_webp
+
+        return decode_webp(buf)
     raise NotImplementedError(
-        f"compressed codec ({fmt}): entropy decode needs pillow/libvips "
-        "(not in this container); PPM/PGM/BMP/PNG/baseline-JPEG/GIF "
-        "decode here is real"
+        "unknown image magic: entropy decode needs pillow/libvips "
+        "(not in this container); PPM/PGM/BMP/PNG/baseline-JPEG/GIF/"
+        "VP8L-WebP decode here is real"
     )
 
 
@@ -364,10 +371,11 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Decode (PPM/PGM/BMP/PNG/JPEG/GIF — see ``decode_image``),
-    nearest-neighbor resize, re-encode as binary PPM/PGM (alpha
-    dropped for 2/4-channel sources).  WebP inputs raise the same
-    documented NotImplementedError as ``decode_image``."""
+    """Decode (PPM/PGM/BMP/PNG/JPEG/GIF/VP8L-WebP — see
+    ``decode_image``), nearest-neighbor resize, re-encode as binary
+    PPM/PGM (alpha dropped for 2/4-channel sources).  Lossy-VP8
+    inputs raise the same documented NotImplementedError as
+    ``decode_image``."""
     a = decode_image(payload)
     if a.ndim == 3 and a.shape[2] == 2:
         a = a[:, :, 0]  # gray+alpha -> gray (PGM has no alpha)

@@ -24,18 +24,28 @@ def test_media_schema_and_stats(media):
 
 
 def test_decode_entropy_codecs_still_raise():
-    # WebP stays behind the documented stub (no pillow here); PNG
-    # (r4), baseline JPEG (r5) and GIF (r5) no longer do.
+    # lossy VP8 stays behind the documented stub (no pillow here);
+    # PNG (r4), baseline JPEG, GIF and lossless-VP8L (r5) no longer
+    # do.
+    import struct
+
+    lossy = (b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+             + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4)
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"RIFFxxxxWEBP" + b"\x00" * 32)
+        mm.decode_image(lossy)
     with pytest.raises(NotImplementedError):
-        mm.resize_image(b"RIFFxxxxWEBP" + b"\x00" * 32, 64, 64)
-    # truncated baseline JPEG / garbage GIF bodies are ValueErrors
-    # (quarantined row-wise), not hard NotImplementedErrors
+        mm.resize_image(lossy, 64, 64)
+    with pytest.raises(NotImplementedError):  # unknown magic entirely
+        mm.decode_image(b"\x00unknown-magic" + b"\x00" * 32)
+    # truncated baseline JPEG / garbage GIF / chunkless-WebP bodies
+    # are ValueErrors (quarantined row-wise), not hard
+    # NotImplementedErrors
     with pytest.raises(ValueError):
         mm.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
     with pytest.raises(ValueError):
         mm.decode_image(b"GIF89a" + b"\x00" * 32)
+    with pytest.raises(ValueError):
+        mm.decode_image(b"RIFFxxxxWEBP" + b"\x00" * 32)
 
 
 def _gradient(h, w):
@@ -545,6 +555,170 @@ def test_gif_spark_end_to_end(spark):
         {
             "media_id": list(imgs),
             "media_type": ["image/gif"] * len(imgs),
+            "media": payloads,
+            "width": [img.shape[1] for img in imgs.values()],
+            "height": [img.shape[0] for img in imgs.values()],
+            "n_bytes": [0] * len(imgs),
+        }
+    )
+    media = spark.createDataFrame(pdf, schema=mm.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in mm.decode_features(media).collect()}
+    assert len(feats) == len(imgs)
+    assert not feats[5]["ok"]
+    for i, img in imgs.items():
+        if i == 5:
+            continue
+        f = feats[i]
+        assert f["ok"]
+        assert (f["width"], f["height"], f["channels"]) == (
+            img.shape[1], img.shape[0], 3,
+        )
+        want = (img[:, :, 0] * 0.299 + img[:, :, 1] * 0.587
+                + img[:, :, 2] * 0.114).mean()
+        assert f["mean_luma"] == pytest.approx(float(want), rel=1e-9)
+
+
+# --- WebP lossless / VP8L (round 5: ops/webp.py) -----------------------------
+
+def test_vp8l_roundtrips_bit_exact():
+    """VP8L is lossless, so every encoder-twin feature pins the
+    decoder BIT-EXACT: plain literals, LZ77 runs, color cache,
+    subtract-green, grayscale, RGBA alpha, and the decode_image
+    dispatch/resize seam."""
+    from search_engine_spark.ops import webp as W
+
+    rng = np.random.RandomState(23)
+    pal, img = _palettized(rng, 13, 17, 7)
+    assert np.array_equal(W.decode_webp(W.encode_webp(img)), img)
+    assert np.array_equal(mm.decode_image(W.encode_webp(img)), img)
+    runs = np.repeat(img, 4, axis=1)
+    assert np.array_equal(W.decode_webp(W.encode_webp(runs)), runs)
+    assert np.array_equal(
+        W.decode_webp(W.encode_webp(img, cache_bits=4)), img)
+    assert np.array_equal(
+        W.decode_webp(W.encode_webp(img, subtract_green=True)), img)
+    g = rng.randint(0, 256, (9, 11)).astype(np.uint8)
+    assert np.array_equal(
+        W.decode_webp(W.encode_webp(g)), np.stack([g] * 3, axis=2))
+    rgba = np.dstack([img, img[:, :, 0] ^ 0x5A])
+    assert np.array_equal(W.decode_webp(W.encode_webp(rgba)), rgba)
+    out = mm.decode_image(mm.resize_image(W.encode_webp(rgba), 8, 6))
+    assert out.shape == (6, 8, 3)  # resize drops alpha for PPM
+    # full-color noise (every prefix tree non-trivial, >256 colors)
+    noise = rng.randint(0, 256, (21, 19, 3)).astype(np.uint8)
+    assert np.array_equal(W.decode_webp(W.encode_webp(noise)), noise)
+
+
+def test_vp8l_palette_all_bundling_widths():
+    """COLOR_INDEXING with sub-byte bundling: 1/2/4-bit indices and
+    the unbundled >16-color form, via the delta-coded palette."""
+    from search_engine_spark.ops import webp as W
+
+    rng = np.random.RandomState(29)
+    for n in (2, 3, 4, 9, 16, 17, 200):
+        pal, img = _palettized(rng, 11, 23, n)
+        got = W.decode_webp(W.encode_webp(img, palette=True))
+        assert np.array_equal(got, img), n
+    # width not divisible by the bundling unit
+    pal, img = _palettized(rng, 5, 13, 2)
+    assert np.array_equal(
+        W.decode_webp(W.encode_webp(img, palette=True)), img)
+
+
+def test_vp8l_predictor_all_modes():
+    """PREDICTOR transform: the twin's tile grid cycles through all
+    14 spatial predictors ((tx+ty) % 14 at size_bits=2 over a
+    37x41 image covers every mode), composed with subtract-green and
+    the color cache."""
+    from search_engine_spark.ops import webp as W
+
+    y, x = np.mgrid[0:37, 0:41]
+    grad = np.stack([(x * 5 + y) % 256, (x + y * 7) % 256,
+                     (x * 3 + y * 3) % 256], axis=-1).astype(np.uint8)
+    for kw in (
+        {"predictor_size_bits": 2},
+        {"predictor_size_bits": 4},
+        {"predictor_size_bits": 2, "subtract_green": True,
+         "cache_bits": 6},
+    ):
+        got = W.decode_webp(W.encode_webp(grad, **kw))
+        assert np.array_equal(got, grad), kw
+    rng = np.random.RandomState(31)
+    noise = rng.randint(0, 256, (21, 19, 4)).astype(np.uint8)
+    got = W.decode_webp(W.encode_webp(noise, predictor_size_bits=3))
+    assert np.array_equal(got, noise)
+
+
+def test_vp8l_edge_shapes_and_containers():
+    from search_engine_spark.ops import webp as W
+    import struct
+
+    one = np.array([[[7, 8, 9]]], np.uint8)
+    assert np.array_equal(W.decode_webp(W.encode_webp(one)), one)
+    big = np.zeros((70, 70, 3), np.uint8)  # run longer than LZ77 cap
+    big[0, 0] = (1, 2, 3)
+    assert np.array_equal(W.decode_webp(W.encode_webp(big)), big)
+    # VP8X extended container wrapping the VP8L chunk
+    rng = np.random.RandomState(37)
+    pal, img = _palettized(rng, 9, 7, 5)
+    enc = W.encode_webp(img)
+    vp8l_chunk = enc[enc.index(b"VP8L"):]
+    vp8x = b"VP8X" + struct.pack("<I", 10) + b"\x00" * 10
+    wrapped = (b"RIFF" + struct.pack("<I", 4 + len(vp8x) + len(vp8l_chunk))
+               + b"WEBP" + vp8x + vp8l_chunk)
+    assert np.array_equal(W.decode_webp(wrapped), img)
+    assert np.array_equal(mm.decode_image(wrapped), img)
+
+
+def test_vp8l_out_of_scope_and_corrupt():
+    from search_engine_spark.ops import webp as W
+    import struct
+
+    rng = np.random.RandomState(41)
+    pal, img = _palettized(rng, 9, 7, 5)
+    enc = W.encode_webp(img)
+    with pytest.raises(ValueError):
+        W.decode_webp(enc[: len(enc) // 2])
+    with pytest.raises(ValueError):
+        W.decode_webp(b"XIFF" + enc[4:])
+    # cross-color transform (type 1): hand-built header
+    bw = W._BitWriter()
+    bw.bits(6, 14); bw.bits(4, 14); bw.bits(0, 1); bw.bits(0, 3)
+    bw.bits(1, 1); bw.bits(1, 2)
+    payload = b"\x2f" + bw.done()
+    cc = (b"RIFF" + struct.pack("<I", 12 + len(payload)) + b"WEBP"
+          + b"VP8L" + struct.pack("<I", len(payload)) + payload)
+    with pytest.raises(NotImplementedError, match="cross-color"):
+        W.decode_webp(cc)
+    # >256 colors on palette encode
+    y, x = np.mgrid[0:32, 0:32]
+    many = np.stack([y * 8, x * 8, (y + x) % 256], axis=-1).astype(np.uint8)
+    with pytest.raises(ValueError, match="256"):
+        W.encode_webp(many, palette=True)
+
+
+def test_vp8l_spark_end_to_end(spark):
+    """VP8L payloads through the real mapInPandas feature extractor:
+    decoded dims/luma match numpy; a corrupt body quarantines
+    ok=false without failing the task."""
+    import pandas as pd
+
+    from search_engine_spark.ops import webp as W
+
+    rng = np.random.RandomState(43)
+    imgs = {
+        i: _palettized(rng, 16 + i % 3, 17 + i % 4, 5 + i)[1]
+        for i in range(8)
+    }
+    payloads = [
+        W.encode_webp(img, cache_bits=3 if i % 2 else 0)
+        for i, img in imgs.items()
+    ]
+    payloads[5] = payloads[5][:40]  # corrupt one body
+    pdf = pd.DataFrame(
+        {
+            "media_id": list(imgs),
+            "media_type": ["image/webp"] * len(imgs),
             "media": payloads,
             "width": [img.shape[1] for img in imgs.values()],
             "height": [img.shape[0] for img in imgs.values()],
