@@ -7,11 +7,16 @@ gray/RGB/palette/gray+alpha/RGBA — zlib inflate is Python stdlib, so
 in pure numpy (``decode_image``/``resize_image``/``decode_features``,
 no PIL needed).  Baseline JPEG (Huffman, ``ops/jpeg.py``), GIF (LZW,
 ``ops/gif.py``) and lossless WebP (VP8L subset, ``ops/webp.py``)
-decode for real too, each pinned by an in-repo encoder twin.  Lossy
-VP8, the VP8L cross-color transform, and progressive/arithmetic JPEG
-require entropy decoders that are not in this container and raise a
-documented NotImplementedError; install pillow and extend the
-``decode_image`` dispatch to add them.  The Spark-side plumbing is real and tested
+decode for real too, each pinned by an in-repo encoder twin.  Audio
+decodes for real as RIFF/WAVE PCM (``ops/wav.py`` ->
+``audio_windows_pcm``) and video containers parse for real as
+ISO-BMFF (``ops/mp4.py`` -> ``sample_frames_mp4``: true stco/stsz
+sample offsets, stss keyframes) — codec payloads inside stay opaque.
+Lossy VP8, the VP8L cross-color transform, progressive/arithmetic
+JPEG, and A/V entropy codecs (H.264, MP3, ...) require decoders that
+are not in this container and raise a documented
+NotImplementedError; install pillow/pyav and extend the dispatch
+seams to add them.  The Spark-side plumbing is real and tested
 either way: binary columns flow through Arrow `mapInPandas` in
 bounded batches, schemas are explicit, bad payloads are quarantined
 row-wise (``ok=false``), and the partitioning story (repartition by
@@ -546,6 +551,126 @@ def audio_windows(
         media.filter(F.col("media_type") == "audio/wav")
         .select("media_id", "media")
         .mapInPandas(wins, schema=AUDIO_WINDOW_SCHEMA)
+    )
+
+
+MP4_FRAME_SCHEMA = (
+    "media_id long, ok boolean, frame_idx int, is_sync boolean, "
+    "frame binary"
+)
+
+
+def sample_frames_mp4(
+    media: DataFrame, every_n: int = 1, keyframes_only: bool = False
+) -> DataFrame:
+    """The REAL-container counterpart of ``sample_frames``: payloads
+    parse as ISO-BMFF (ops/mp4.py) and fan out one row per selected
+    sample at its true stco/stsz offset, ``keyframes_only`` selecting
+    the stss sync set.  Frame payloads stay opaque codec bytes
+    (decoding H.264 &c. is the pillow/pyav seam); unparseable
+    payloads quarantine as one ok=false row."""
+    from search_engine_spark.ops.mp4 import extract_samples, parse_mp4
+
+    def frames(it):
+        for pdf in it:
+            ids, oks, idxs, syncs, blobs = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                buf = bytes(payload)
+                try:
+                    info = parse_mp4(buf)
+                    track = next(
+                        t for t in info["tracks"]
+                        if t["handler"] == "vide" and t["sample_sizes"]
+                    )
+                    samples = extract_samples(
+                        buf, track, every_n=every_n,
+                        keyframes_only=keyframes_only,
+                    )
+                except (ValueError, StopIteration):
+                    ids.append(mid)
+                    oks.append(False)
+                    idxs.append(0)
+                    syncs.append(False)
+                    blobs.append(b"")
+                    continue
+                for i, is_sync, blob in samples:
+                    ids.append(mid)
+                    oks.append(True)
+                    idxs.append(i)
+                    syncs.append(is_sync)
+                    blobs.append(blob)
+            yield pd.DataFrame(
+                {"media_id": ids, "ok": oks, "frame_idx": idxs,
+                 "is_sync": syncs, "frame": blobs}
+            )
+
+    return (
+        media.filter(F.col("media_type") == "video/mp4")
+        .select("media_id", "media")
+        .mapInPandas(frames, schema=MP4_FRAME_SCHEMA)
+    )
+
+
+PCM_WINDOW_SCHEMA = (
+    "media_id long, ok boolean, sample_rate int, n_channels int, "
+    "window_idx int, rms double, peak double"
+)
+
+
+def audio_windows_pcm(
+    media: DataFrame, win_frames: int = 512, hop_frames: int = 256
+) -> DataFrame:
+    """The REAL-decode counterpart of ``audio_windows``: payloads
+    parse as RIFF/WAVE PCM (ops/wav.py), samples normalize to
+    [-1, 1) float64, and RMS/peak window over frames (all channels
+    folded into the window) with the same strided-view math.
+    Undecodable payloads quarantine as one ok=false row instead of
+    failing the task — the same row-wise policy as
+    ``decode_features``."""
+    from search_engine_spark.ops.wav import decode_wav_normalized
+
+    def wins(it):
+        for pdf in it:
+            rows = {k: [] for k in ("media_id", "ok", "sample_rate",
+                                    "n_channels", "window_idx", "rms",
+                                    "peak")}
+
+            def emit(mid, ok, rate=0, nch=0, widx=0, rms=0.0, peak=0.0):
+                rows["media_id"].append(mid)
+                rows["ok"].append(ok)
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(nch)
+                rows["window_idx"].append(widx)
+                rows["rms"].append(rms)
+                rows["peak"].append(peak)
+
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                try:
+                    samples, rate = decode_wav_normalized(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    emit(mid, False)
+                    continue
+                nch = samples.shape[1]
+                flat = samples.reshape(-1)  # frame-major interleave
+                wb = win_frames * nch
+                hb = hop_frames * nch
+                if len(flat) < wb:
+                    flat = np.pad(flat, (0, wb - len(flat)))
+                n_win = 1 + (len(flat) - wb) // hb
+                idx = (np.arange(wb)[None, :]
+                       + hb * np.arange(n_win)[:, None])
+                w = flat[idx]
+                r = np.sqrt((w * w).mean(axis=1))
+                p = np.abs(w).max(axis=1)
+                for wi in range(n_win):
+                    emit(mid, True, int(rate), nch, wi,
+                         float(r[wi]), float(p[wi]))
+            yield pd.DataFrame(rows)
+
+    return (
+        media.filter(F.col("media_type") == "audio/wav")
+        .select("media_id", "media")
+        .mapInPandas(wins, schema=PCM_WINDOW_SCHEMA)
     )
 
 

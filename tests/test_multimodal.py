@@ -740,3 +740,199 @@ def test_vp8l_spark_end_to_end(spark):
         want = (img[:, :, 0] * 0.299 + img[:, :, 1] * 0.587
                 + img[:, :, 2] * 0.114).mean()
         assert f["mean_luma"] == pytest.approx(float(want), rel=1e-9)
+
+
+# --- WAV PCM + MP4 container (round 5: ops/wav.py, ops/mp4.py) ---------------
+
+def test_wav_roundtrips_bit_exact():
+    """RIFF/WAVE PCM is a lossless container: 8/16/24/32-bit int and
+    float32, mono and multi-channel, pin bit-exact; normalization
+    maps to [-1, 1) with the documented per-width scale."""
+    from search_engine_spark.ops import wav as W
+
+    rng = np.random.RandomState(47)
+    s16 = rng.randint(-32768, 32768, (500, 2)).astype(np.int16)
+    dec, rate = W.decode_wav(W.encode_wav(s16, 44100))
+    assert rate == 44100 and np.array_equal(dec, s16)
+    u8 = rng.randint(0, 256, 300).astype(np.uint8)
+    assert np.array_equal(
+        W.decode_wav(W.encode_wav(u8))[0].reshape(-1), u8)
+    s32 = rng.randint(-2**31, 2**31, (100, 3),
+                      dtype=np.int64).astype(np.int32)
+    assert np.array_equal(W.decode_wav(W.encode_wav(s32))[0], s32)
+    f32 = (rng.rand(200, 2).astype(np.float32) * 2 - 1)
+    assert np.array_equal(W.decode_wav(W.encode_wav(f32))[0], f32)
+    s24 = (rng.randint(-2**23, 2**23, (150, 2), dtype=np.int64)
+           << 8).astype(np.int32)
+    assert np.array_equal(
+        W.decode_wav(W.encode_wav(s24, bits=24))[0], s24)
+    # normalization endpoints
+    n, _ = W.decode_wav_normalized(
+        W.encode_wav(np.array([0, 128, 255], np.uint8)))
+    assert n.reshape(-1).tolist() == [-1.0, 0.0, 127 / 128]
+    n, _ = W.decode_wav_normalized(
+        W.encode_wav(np.array([-32768, 0, 32767], np.int16)))
+    assert n.reshape(-1).tolist() == [-1.0, 0.0, 32767 / 32768]
+
+
+def test_wav_extensible_and_errors():
+    import struct
+
+    from search_engine_spark.ops import wav as W
+
+    rng = np.random.RandomState(53)
+    s16 = rng.randint(-32768, 32768, (60, 2)).astype(np.int16)
+    # WAVE_FORMAT_EXTENSIBLE resolving to PCM via the SubFormat GUID
+    fmt = (struct.pack("<HHIIHH", 0xFFFE, 2, 44100, 44100 * 4, 4, 16)
+           + struct.pack("<HHI", 22, 16, 3)
+           + struct.pack("<H", 1) + b"\x00" * 14)
+    data = s16.astype("<i2").tobytes()
+    buf = (b"RIFF" + struct.pack("<I", 4 + 16 + len(fmt) + len(data))
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    dec, rate = W.decode_wav(buf)
+    assert rate == 44100 and np.array_equal(dec, s16)
+    enc = W.encode_wav(s16)
+    with pytest.raises(ValueError):
+        W.decode_wav(enc[:30])
+    with pytest.raises(ValueError):
+        W.decode_wav(b"RIFFxxxxWEBP" + b"\x00" * 20)
+    adpcm = enc[:20] + struct.pack("<H", 2) + enc[22:]
+    with pytest.raises(NotImplementedError):
+        W.decode_wav(adpcm)
+
+
+def test_mp4_parse_and_sample_extraction():
+    """The builder twin writes real stts/stsc/stsz/stco/stss tables;
+    the parser's chunk-run offset arithmetic must hand back every
+    sample payload bit-exact, keyframes per stss."""
+    from search_engine_spark.ops import mp4 as M
+
+    rng = np.random.RandomState(59)
+    samples = [
+        bytes(rng.randint(0, 256, rng.randint(5, 40)).astype(np.uint8))
+        for _ in range(11)
+    ]
+    buf = M.build_mp4(samples, width=64, height=48, samples_per_chunk=3,
+                      sync_every=4)
+    info = M.parse_mp4(buf)
+    assert info["brand"] == "isom"
+    t = info["tracks"][0]
+    assert (t["handler"], t["width"], t["height"]) == ("vide", 64.0, 48.0)
+    assert t["sync_samples"] == [1, 5, 9]
+    assert t["stsc_runs"] == [(1, 3, 1), (4, 2, 1)]
+    got = M.extract_samples(buf, t)
+    assert [p for _, _, p in got] == samples
+    assert [s for _, s, _ in got] == [i % 4 == 0 for i in range(11)]
+    kf = M.extract_samples(buf, t, keyframes_only=True)
+    assert [i for i, _, _ in kf] == [0, 4, 8]
+    assert all(samples[i] == p for i, _, p in kf)
+    assert [i for i, _, _ in
+            M.extract_samples(buf, t, every_n=3)] == [0, 3, 6, 9]
+    # chunk-boundary counts
+    for n in (1, 3, 6):
+        b2 = M.build_mp4(samples[:n])
+        t2 = M.parse_mp4(b2)["tracks"][0]
+        assert [p for _, _, p in
+                M.extract_samples(b2, t2)] == samples[:n], n
+    with pytest.raises(ValueError):
+        M.parse_mp4(buf[:40])
+    with pytest.raises(ValueError):
+        M.parse_mp4(buf[: len(buf) // 3])  # moov truncated away
+
+
+def test_audio_windows_pcm_spark(spark):
+    """Real WAV decode through mapInPandas: window RMS/peak over
+    normalized PCM matches numpy; a corrupt payload quarantines as
+    one ok=false row."""
+    import pandas as pd
+
+    from search_engine_spark.ops import wav as W
+
+    rng = np.random.RandomState(61)
+    waves = {i: rng.randint(-32768, 32768,
+                            (600 + 40 * i, 2)).astype(np.int16)
+             for i in range(4)}
+    payloads = [W.encode_wav(w, 8000) for w in waves.values()]
+    payloads[2] = payloads[2][:25]
+    pdf = pd.DataFrame(
+        {
+            "media_id": list(waves),
+            "media_type": ["audio/wav"] * len(waves),
+            "media": payloads,
+            "width": [0] * len(waves),
+            "height": [0] * len(waves),
+            "n_bytes": [len(p) for p in payloads],
+        }
+    )
+    media = spark.createDataFrame(pdf, schema=mm.MEDIA_SCHEMA)
+    rows = mm.audio_windows_pcm(media, win_frames=128,
+                                hop_frames=64).collect()
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert [r["ok"] for r in by_id[2]] == [False]
+    for mid, wave in waves.items():
+        if mid == 2:
+            continue
+        got = sorted(by_id[mid], key=lambda r: r["window_idx"])
+        assert all(r["ok"] and r["sample_rate"] == 8000
+                   and r["n_channels"] == 2 for r in got)
+        flat = wave.astype(np.float64).reshape(-1) / 32768.0
+        wb, hb = 128 * 2, 64 * 2
+        n_win = 1 + (len(flat) - wb) // hb
+        assert len(got) == n_win
+        for wi in (0, n_win // 2, n_win - 1):
+            w = flat[wi * hb: wi * hb + wb]
+            assert got[wi]["rms"] == pytest.approx(
+                float(np.sqrt((w * w).mean())), rel=1e-12)
+            assert got[wi]["peak"] == pytest.approx(
+                float(np.abs(w).max()), rel=1e-12)
+
+
+def test_sample_frames_mp4_spark(spark):
+    """Real container parse through mapInPandas: per-video keyframe
+    fan-out at true stco/stsz offsets; a corrupt payload quarantines
+    as one ok=false row."""
+    import pandas as pd
+
+    from search_engine_spark.ops import mp4 as M
+
+    rng = np.random.RandomState(67)
+    vids = {}
+    for i in range(4):
+        vids[i] = [
+            bytes(rng.randint(0, 256, 10 + j).astype(np.uint8))
+            for j in range(5 + i)
+        ]
+    payloads = [M.build_mp4(s, sync_every=3) for s in vids.values()]
+    payloads[1] = payloads[1][:30]
+    pdf = pd.DataFrame(
+        {
+            "media_id": list(vids),
+            "media_type": ["video/mp4"] * len(vids),
+            "media": payloads,
+            "width": [64] * len(vids),
+            "height": [48] * len(vids),
+            "n_bytes": [len(p) for p in payloads],
+        }
+    )
+    media = spark.createDataFrame(pdf, schema=mm.MEDIA_SCHEMA)
+    rows = mm.sample_frames_mp4(media).collect()
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert [r["ok"] for r in by_id[1]] == [False]
+    for mid, samples in vids.items():
+        if mid == 1:
+            continue
+        got = sorted(by_id[mid], key=lambda r: r["frame_idx"])
+        assert [bytes(r["frame"]) for r in got] == samples
+        assert [r["is_sync"] for r in got] == [
+            i % 3 == 0 for i in range(len(samples))
+        ]
+    kf = mm.sample_frames_mp4(media, keyframes_only=True).collect()
+    kf0 = sorted((r for r in kf if r["media_id"] == 0),
+                 key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in kf0] == [0, 3]
+    assert [bytes(r["frame"]) for r in kf0] == [vids[0][0], vids[0][3]]
