@@ -165,6 +165,13 @@ class _LzwEncoder:
             w = bytes([k])
         if w:
             self._emit(self.table[w])
+            # the decoder appends a table entry for this final code
+            # (and may bump its width) BEFORE reading EOI — mirror
+            # that bookkeeping or EOI goes out one bit short
+            self.next_code += 1
+            if (self.next_code - 1 == (1 << self.code_size)
+                    and self.code_size < _MAX_CODE_SIZE):
+                self.code_size += 1
         self._emit(self.eoi)
         if self.nbits:
             self.out.append(self.acc & 0xFF)
@@ -228,7 +235,15 @@ def decode_gif_frames(buf: bytes) -> np.ndarray:
     screen per the GIF89a disposal rules.  Returns (F, H, W, 3) uint8
     RGB.  The canvas starts as the background color (global color
     table at the background index; black without a global table);
-    transparent pixels leave the underlying canvas untouched."""
+    transparent pixels leave the underlying canvas untouched.
+    Corrupt/truncated payloads raise ValueError (quarantinable)."""
+    try:
+        return _decode_gif_frames(buf)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt GIF structure: {e}") from e
+
+
+def _decode_gif_frames(buf: bytes) -> np.ndarray:
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     if len(buf) < 13:

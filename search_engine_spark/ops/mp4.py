@@ -89,8 +89,15 @@ def _full(buf: bytes, off: int):
 def parse_mp4(buf: bytes) -> dict:
     """-> {brand, timescale, duration, tracks: [{track_id, width,
     height, handler, media_timescale, media_duration, sample_sizes,
-    chunk_offsets, stsc_runs, sync_samples, sample_deltas}]}."""
-    buf = bytes(buf)
+    chunk_offsets, stsc_runs, sync_samples, sample_deltas}]}.
+    Corrupt/truncated payloads raise ValueError (quarantinable)."""
+    try:
+        return _parse_mp4(bytes(buf))
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt MP4 structure: {e}") from e
+
+
+def _parse_mp4(buf: bytes) -> dict:
     boxes = parse_boxes(buf)
     ftyp = _find(boxes, b"ftyp")
     if ftyp is None:
@@ -153,6 +160,12 @@ def parse_mp4(buf: bytes) -> dict:
             if stsz is not None:
                 _, p = _full(buf, stsz[1])
                 fixed, count = struct.unpack(">II", buf[p:p + 8])
+                if count > len(buf):
+                    # a 4-byte count field cannot describe more
+                    # samples than the file has bytes — reject
+                    # instead of allocating gigabytes from a tiny
+                    # crafted payload
+                    raise ValueError("stsz sample count exceeds file size")
                 if fixed:
                     t["sample_sizes"] = [fixed] * count
                 else:
@@ -196,6 +209,8 @@ def parse_mp4(buf: bytes) -> dict:
                 vals = np.frombuffer(
                     buf[p + 4:p + 4 + 8 * count], dtype=">u4"
                 ).reshape(count, 2)
+                if int(vals[:, 0].sum()) > len(buf):
+                    raise ValueError("stts sample count exceeds file size")
                 deltas = []
                 for n, d in vals:
                     deltas.extend([int(d)] * int(n))
@@ -235,21 +250,25 @@ def sample_locations(track: dict):
 
 def extract_samples(buf: bytes, track: dict, *, every_n: int = 1,
                     keyframes_only: bool = False):
-    """-> list of (sample_idx_0based, is_sync, payload bytes)."""
+    """-> list of (sample_idx_0based, is_sync, payload bytes).
+    ``every_n`` strides over the SELECTED sequence, so with
+    ``keyframes_only`` it means "every n-th keyframe", not
+    keyframes whose absolute index happens to divide by n."""
     buf = bytes(buf)
     locs = sample_locations(track)
     sync = track["sync_samples"]
     sync_set = set(sync) if sync is not None else None
     out = []
+    selected = 0
     for i, (off, size) in enumerate(locs):
         is_sync = sync_set is None or (i + 1) in sync_set
         if keyframes_only and not is_sync:
             continue
-        if i % every_n:
-            continue
-        if off + size > len(buf):
-            raise ValueError("sample overruns file")
-        out.append((i, is_sync, buf[off:off + size]))
+        if selected % every_n == 0:
+            if off + size > len(buf):
+                raise ValueError("sample overruns file")
+            out.append((i, is_sync, buf[off:off + size]))
+        selected += 1
     return out
 
 
@@ -317,7 +336,7 @@ def build_mp4(
                     + _box(b"raw ", b"\x00" * 8))
     stts = _fullbox(b"stts", 0, 0, struct.pack(">III", 1, n,
                                                sample_delta))
-    stsc_runs = [(1, samples_per_chunk, 1)]
+    stsc_runs = [(1, min(n, samples_per_chunk), 1)]
     tail = n % samples_per_chunk
     if tail and n > samples_per_chunk:
         stsc_runs.append((len(chunk_offsets), tail, 1))

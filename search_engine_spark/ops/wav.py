@@ -138,6 +138,11 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000,
     if a.ndim != 2:
         raise ValueError("samples must be (n,) or (n_frames, n_channels)")
     n_channels = a.shape[1]
+    if bits is not None and bits != 24 and bits != a.dtype.itemsize * 8:
+        raise ValueError(
+            f"bits={bits} conflicts with {a.dtype} samples: pass "
+            "bits=24 over int32, or let the dtype set the width"
+        )
     if bits == 24:
         if a.dtype != np.int32:
             raise ValueError("24-bit encode expects int32 (value << 8)")

@@ -34,12 +34,10 @@ The encoder twin (``encode_webp``) emits the exact decoder subset —
 optional subtract-green / exact palette / predictor grid / color
 cache / run-length LZ77 — so tests pin the decoder BIT-EXACT from
 first principles (VP8L is lossless), the same twin strategy as
-``encode_png``/``encode_jpeg``/``encode_gif``.  Where the spec's
-prose leaves a corner ambiguous to this implementation (the
-top-right neighbor of a rightmost pixel wraps to the leftmost pixel
-of the row above), encoder and decoder share the one rule, so
-roundtrips stay exact; payloads from other encoders that exercise
-that corner may differ and should go through pillow.
+``encode_png``/``encode_jpeg``/``encode_gif``.  The predictor's
+top-right neighbor at a rightmost pixel follows libwebp's flat-array
+addressing (``data[(y-1)*w + x+1]`` == the current row's leftmost,
+already-decoded pixel), shared by encoder and decoder.
 """
 
 from __future__ import annotations
@@ -412,14 +410,15 @@ def _predict(mode: int, L: int, T: int, TL: int, TR: int) -> int:
 
 
 def _neighbors(pix: np.ndarray, x: int, y: int, w: int):
-    """(L, T, TL, TR) for the predictor at (x, y); the rightmost
-    column's TR wraps to the leftmost pixel of the row above (shared
-    encoder/decoder rule — see module docstring)."""
+    """(L, T, TL, TR) for the predictor at (x, y).  The rightmost
+    column's TR follows libwebp's flat-array addressing
+    ``data[(y-1)*w + (x+1)]``, which at x == w-1 is ``data[y*w]`` —
+    the CURRENT row's leftmost (already decoded) pixel."""
     L = int(pix[y, x - 1]) if x > 0 else 0
     T = int(pix[y - 1, x]) if y > 0 else 0
     TL = int(pix[y - 1, x - 1]) if x > 0 and y > 0 else 0
     if y > 0:
-        TR = int(pix[y - 1, x + 1]) if x + 1 < w else int(pix[y - 1, 0])
+        TR = int(pix[y - 1, x + 1]) if x + 1 < w else int(pix[y, 0])
     else:
         TR = 0
     return L, T, TL, TR
@@ -802,6 +801,10 @@ def encode_webp(
         raise ValueError("palette excludes other transforms here")
     argb, has_alpha = _to_argb(img)
     h, w = argb.shape
+    if w > 16384 or h > 16384:
+        raise ValueError(
+            f"{w}x{h}: VP8L dimensions are 14-bit (max 16384)"
+        )
     bw = _BitWriter()
     bw.bits(w - 1, 14)
     bw.bits(h - 1, 14)

@@ -936,3 +936,86 @@ def test_sample_frames_mp4_spark(spark):
                  key=lambda r: r["frame_idx"])
     assert [r["frame_idx"] for r in kf0] == [0, 3]
     assert [bytes(r["frame"]) for r in kf0] == [vids[0][0], vids[0][3]]
+
+
+# --- review-pass regressions (round 5) ---------------------------------------
+
+def test_gif_lzw_eoi_width_regression():
+    """The LZW flush code grows the decoder's table (and may bump its
+    width) BEFORE EOI is read; the encoder must mirror that or EOI
+    goes out one bit short.  The 1x11 stream below used to land the
+    decoder table exactly on a power of two at the final data code
+    and fail to decode; plus a seeded fuzz over small palettized
+    images."""
+    from search_engine_spark.ops import gif as G
+
+    pal = np.array([[10, 0, 0], [0, 20, 0], [0, 0, 30], [40, 40, 40]],
+                   np.uint8)
+    img = pal[np.array([[0, 0, 1, 0, 2, 0, 3, 1, 1, 2, 1]], np.uint8)]
+    assert np.array_equal(G.decode_gif(G.encode_gif(img)), img)
+    rng = np.random.RandomState(99)
+    for _ in range(400):
+        n = rng.randint(2, 9)
+        h, w = rng.randint(1, 6), rng.randint(1, 30)
+        p = np.unique(rng.randint(0, 256, (n * 2, 3), dtype=np.uint8),
+                      axis=0)[:n]
+        im = p[rng.randint(0, len(p), (h, w))]
+        assert np.array_equal(G.decode_gif(G.encode_gif(im)), im)
+
+
+def test_mp4_corrupt_structures_raise_value_error():
+    """Undersized box bodies and absurd count fields must surface as
+    quarantinable ValueErrors, never struct.error/IndexError/OOM."""
+    import struct
+
+    from search_engine_spark.ops import mp4 as M
+
+    # mvhd body shorter than the v0 layout
+    short_mvhd = (M._box(b"ftyp", b"isom" + b"\x00" * 8)
+                  + M._box(b"moov", M._fullbox(b"mvhd", 0, 0, b"\x00" * 4)))
+    with pytest.raises(ValueError):
+        M.parse_mp4(short_mvhd)
+    # stsz fixed-size with a 50M count in a tiny file
+    stbl = M._box(b"stbl", M._fullbox(
+        b"stsz", 0, 0, struct.pack(">II", 1, 50_000_000)))
+    bomb = (M._box(b"ftyp", b"isom" + b"\x00" * 8)
+            + M._box(b"moov", M._fullbox(b"mvhd", 0, 0, b"\x00" * 96)
+                     + M._box(b"trak", M._box(
+                         b"mdia", M._box(b"minf", stbl)))))
+    with pytest.raises(ValueError):
+        M.parse_mp4(bomb)
+    # stts claiming more samples than the file has bytes
+    stbl2 = M._box(b"stbl", M._fullbox(
+        b"stts", 0, 0, struct.pack(">III", 1, 50_000_000, 1)))
+    bomb2 = bomb.replace(stbl, stbl2)
+    with pytest.raises(ValueError):
+        M.parse_mp4(bomb2)
+
+
+def test_mp4_every_n_composes_with_keyframes():
+    """every_n strides the SELECTED sequence: with keyframes_only it
+    means every n-th keyframe, independent of sync alignment."""
+    from search_engine_spark.ops import mp4 as M
+
+    samples = [bytes([i]) * 4 for i in range(20)]
+    buf = M.build_mp4(samples, sync_every=3)  # keyframes 0,3,6,...,18
+    t = M.parse_mp4(buf)["tracks"][0]
+    got = M.extract_samples(buf, t, every_n=2, keyframes_only=True)
+    assert [i for i, _, _ in got] == [0, 6, 12, 18]  # every 2nd keyframe
+    # n smaller than samples_per_chunk writes a spec-consistent stsc
+    b2 = M.build_mp4(samples[:2], samples_per_chunk=3)
+    t2 = M.parse_mp4(b2)["tracks"][0]
+    assert t2["stsc_runs"] == [(1, 2, 1)]
+    assert [p for _, _, p in M.extract_samples(b2, t2)] == samples[:2]
+
+
+def test_webp_oversize_and_wav_bits_guards():
+    from search_engine_spark.ops import wav as WV
+    from search_engine_spark.ops import webp as W
+
+    with pytest.raises(ValueError, match="16384"):
+        W.encode_webp(np.zeros((1, 16385, 3), np.uint8))
+    with pytest.raises(ValueError, match="bits"):
+        WV.encode_wav(np.zeros(8, np.int16), bits=8)
+    # explicit matching bits is fine
+    WV.encode_wav(np.zeros(8, np.int16), bits=16)
