@@ -886,6 +886,7 @@ class SearchEngine:
         for r in rows:
             c = TermChunk(r["postings"], r["skips"], r["block_max"])
             c._full = c._decode_full(bs)
+            c._full_block_size = bs
             nb += sum(int(a.nbytes) for a in c._full)
             r["_chunk"] = c
             gid_parts.append(c._full[0] + int(r["slab"]) * ss)

@@ -99,7 +99,8 @@ class TermChunk:
 
     __slots__ = ("postings", "n_blocks", "block_ids", "start_idx",
                  "off_d", "off_t", "off_l", "block_max", "df",
-                 "_d", "_t", "_l", "_full", "_total", "_fnorm")
+                 "_d", "_t", "_l", "_full", "_full_block_size",
+                 "_total", "_fnorm")
 
     def __init__(self, postings: bytes, skips: bytes, block_max: bytes):
         self.postings = postings
@@ -121,6 +122,7 @@ class TermChunk:
         # df = total postings; start_idx end sentinel not stored:
         self.df = None  # set by caller if needed
         self._full = None  # adaptive full-decode memo (decode_blocks)
+        self._full_block_size = None  # block_size the memo was built at
         self._total = None  # memoized posting count (_count_total)
         self._fnorm = None  # memoized tf-norm factors (factor_all)
 
@@ -164,7 +166,14 @@ class TermChunk:
         sel = np.asarray(sel)
         if self._full is None and 3 * len(sel) >= self.n_blocks:
             self._full = self._decode_full(block_size)
+            self._full_block_size = block_size
         if self._full is not None:
+            # the memo bakes block_size into the docid bases; a call
+            # with a different block_size must not silently reuse it
+            assert self._full_block_size == block_size, (
+                f"decode_blocks memo built at block_size="
+                f"{self._full_block_size}, called with {block_size}"
+            )
             local, t_all, dl_all, p_starts, p_ends = self._full
             if len(sel) == self.n_blocks:
                 return local, t_all, dl_all
@@ -244,6 +253,8 @@ class TermChunk:
         key = (k1, b, avgdl)
         if self._full is None:
             self._full = self._decode_full(block_size)
+            self._full_block_size = block_size
+        assert self._full_block_size == block_size
         local, tf, dl = self._full[0], self._full[1], self._full[2]
         if self._fnorm is None or self._fnorm[0] != key:
             self._fnorm = (key, tf_norm_factor(tf, dl, k1, b, avgdl))
@@ -280,31 +291,39 @@ def splice_merge(chunks: list[tuple[bytes, bytes, bytes]]):
     if len(chunks) == 1:
         return chunks[0]
 
-    # parsed accumulator state from the first chunk
+    # List accumulation: each generation appends O(its own bytes) of
+    # parts and the final assembly concatenates ONCE, so a term
+    # spread over G generations moves O(total_bytes), not
+    # O(G * total_bytes).  The only cross-generation state the
+    # boundary re-encode needs is the docid-stream TAIL from the
+    # last block head onward (`tail_d`), carried explicitly.
     acc = TermChunk(*chunks[0])
-    a_d = np.array(acc._d, copy=True)
-    a_t = np.array(acc._t, copy=True)
-    a_l = np.array(acc._l, copy=True)
-    a_ids = np.array(acc.block_ids, dtype=np.int64)
-    a_start = np.array(acc.start_idx, dtype=np.int64)
-    a_offd = np.array(acc.off_d, dtype=np.int64)
-    a_offt = np.array(acc.off_t, dtype=np.int64)
-    a_offl = np.array(acc.off_l, dtype=np.int64)
-    a_bm = np.array(acc.block_max, copy=True)
+    parts_d = [np.array(acc._d, copy=True)]
+    parts_t = [np.array(acc._t, copy=True)]
+    parts_l = [np.array(acc._l, copy=True)]
+    parts_ids = [np.array(acc.block_ids, dtype=np.int64)]
+    parts_start = [np.array(acc.start_idx, dtype=np.int64)]
+    parts_offd = [np.array(acc.off_d, dtype=np.int64)]
+    parts_offt = [np.array(acc.off_t, dtype=np.int64)]
+    parts_offl = [np.array(acc.off_l, dtype=np.int64)]
+    parts_bm = [np.array(acc.block_max, copy=True)]
+    len_d, len_t, len_l = len(acc._d), len(acc._t), len(acc._l)
     a_count = acc._count_total()
+    last_block_id = int(acc.block_ids[-1])
+    tail_d = parts_d[0][int(acc.off_d[-1]):]
 
     for nxt in chunks[1:]:
         b = TermChunk(*nxt)
         b_d = np.asarray(b._d)
         b_count = b._count_total()
-        shared = len(a_ids) > 0 and b.block_ids[0] == a_ids[-1]
+        shared = int(b.block_ids[0]) == last_block_id
         if shared:
             # Both positions are offsets WITHIN the shared block, so
             # no block_size is needed: A's last docid offset is the
             # sum of its last block's deltas, B's head stores its own
             # offset from the block base.  Re-encode that ONE varint
             # as a delta from A's last docid.
-            d_tail = varint_decode(a_d[a_offd[-1]:]).astype(np.int64)
+            d_tail = varint_decode(tail_d).astype(np.int64)
             last_local_off = int(d_tail.sum())  # offset within block
             b_head_nbytes = int(
                 np.flatnonzero((b_d & 0x80) == 0)[0] + 1
@@ -319,28 +338,27 @@ def splice_merge(chunks: list[tuple[bytes, bytes, bytes]]):
             shift = 0
             nb_d = b_d
 
-        # splice streams
-        off_d_base = len(a_d)
-        off_t_base = len(a_t)
-        off_l_base = len(a_l)
-        a_d = np.concatenate([a_d, nb_d])
-        a_t = np.concatenate([a_t, np.asarray(b._t)])
-        a_l = np.concatenate([a_l, np.asarray(b._l)])
+        parts_d.append(nb_d)
+        parts_t.append(np.asarray(b._t))
+        parts_l.append(np.asarray(b._l))
 
         b_ids = np.asarray(b.block_ids, dtype=np.int64)
         b_start = np.asarray(b.start_idx, dtype=np.int64) + a_count
-        b_offd = np.asarray(b.off_d, dtype=np.int64) + off_d_base
+        b_offd = np.asarray(b.off_d, dtype=np.int64) + len_d
         # entries after the re-encoded head varint shift by `shift`
-        b_offd = b_offd + np.where(
-            np.arange(len(b_offd)) > 0, shift, 0
-        )
-        b_offt = np.asarray(b.off_t, dtype=np.int64) + off_t_base
-        b_offl = np.asarray(b.off_l, dtype=np.int64) + off_l_base
+        if shift:
+            b_offd = b_offd.copy()
+            b_offd[1:] += shift
+        b_offt = np.asarray(b.off_t, dtype=np.int64) + len_t
+        b_offl = np.asarray(b.off_l, dtype=np.int64) + len_l
         b_bm = np.asarray(b.block_max)
 
         if shared:
-            # B's first block folds into A's last skip entry
-            a_bm[-1] = max(a_bm[-1], b_bm[0])
+            # B's first block folds into the accumulated last skip
+            # entry (the last element of the last non-empty bm part)
+            fold = max(float(parts_bm[-1][-1]), float(b_bm[0]))
+            parts_bm[-1] = parts_bm[-1].copy()
+            parts_bm[-1][-1] = fold
             b_ids = b_ids[1:]
             b_start = b_start[1:]
             b_offd = b_offd[1:]
@@ -348,13 +366,38 @@ def splice_merge(chunks: list[tuple[bytes, bytes, bytes]]):
             b_offl = b_offl[1:]
             b_bm = b_bm[1:]
 
-        a_ids = np.concatenate([a_ids, b_ids])
-        a_start = np.concatenate([a_start, b_start])
-        a_offd = np.concatenate([a_offd, b_offd])
-        a_offt = np.concatenate([a_offt, b_offt])
-        a_offl = np.concatenate([a_offl, b_offl])
-        a_bm = np.concatenate([a_bm, b_bm])
+        if len(b_ids):
+            parts_ids.append(b_ids)
+            parts_start.append(b_start)
+            parts_offd.append(b_offd)
+            parts_offt.append(b_offt)
+            parts_offl.append(b_offl)
+            parts_bm.append(b_bm)
+            last_block_id = int(b_ids[-1])
+            # new last block head sits inside nb_d at B's local
+            # offset (shifted when it is not B's own head varint)
+            local_head = int(np.asarray(b.off_d)[-1])
+            if local_head > 0:
+                local_head += shift
+            tail_d = nb_d[local_head:]
+        else:
+            # generation folded entirely into the shared block: the
+            # last block head is unchanged, its bytes just grew
+            tail_d = np.concatenate([tail_d, nb_d])
+        len_d += len(nb_d)
+        len_t += len(parts_t[-1])
+        len_l += len(parts_l[-1])
         a_count += b_count
+
+    a_d = np.concatenate(parts_d)
+    a_t = np.concatenate(parts_t)
+    a_l = np.concatenate(parts_l)
+    a_ids = np.concatenate(parts_ids)
+    a_start = np.concatenate(parts_start)
+    a_offd = np.concatenate(parts_offd)
+    a_offt = np.concatenate(parts_offt)
+    a_offl = np.concatenate(parts_offl)
+    a_bm = np.concatenate(parts_bm)
 
     hdr = np.array([len(a_d), len(a_t)], dtype=np.uint32).tobytes()
     postings = hdr + a_d.tobytes() + a_t.tobytes() + a_l.tobytes()

@@ -38,6 +38,19 @@ def _blocks_in(block_ids: np.ndarray, sorted_batch: np.ndarray) -> np.ndarray:
     return pos[block_ids[pos] == sorted_batch]
 
 
+def _topk_select(ids, sc, k):
+    """Exact (score desc, docid asc) top-k with boundary-tie keep:
+    threshold at the kth-largest score, keep ties, lexsort the small
+    surviving set.  Shared by every kernel so tie handling cannot
+    diverge between the per-slab and fused paths."""
+    if len(ids) > k:
+        kth = np.partition(sc, len(sc) - k)[len(sc) - k]
+        keep = sc >= kth
+        ids, sc = ids[keep], sc[keep]
+    sel = np.lexsort((ids, -sc))[:k]
+    return ids[sel], sc[sel]
+
+
 def _exhaustive_topk(
     chunks: list[tuple],
     slab_base: int,
@@ -67,14 +80,8 @@ def _exhaustive_topk(
         else (scores > 0.0) & (counts >= n_required)
     )
     sc = scores[ids]
-    if len(ids) > k:
-        # threshold at the kth-largest score, keep boundary ties, then
-        # the exact lexsort on the (small) surviving set
-        kth = np.partition(sc, len(sc) - k)[len(sc) - k]
-        keep = sc >= kth
-        ids, sc = ids[keep], sc[keep]
-    sel = np.lexsort((ids, -sc))[:k]
-    return ids[sel] + slab_base, sc[sel]
+    ids, sc = _topk_select(ids, sc, k)
+    return ids + slab_base, sc
 
 
 def fused_dense_topk(
@@ -115,12 +122,7 @@ def fused_dense_topk(
             scores[gids] += idf * fac
         ids = np.flatnonzero(scores > 0.0)
         sc = scores[ids]
-    if len(ids) > k:
-        kth = np.partition(sc, len(sc) - k)[len(sc) - k]
-        keep = sc >= kth
-        ids, sc = ids[keep], sc[keep]
-    sel = np.lexsort((ids, -sc))[:k]
-    return ids[sel], sc[sel]
+    return _topk_select(ids, sc, k)
 
 
 def slab_topk(
@@ -201,8 +203,10 @@ def slab_topk(
             break
         # drop blocks in this batch already below theta (sorted desc)
         if len(best_ids) >= k:
+            # cut >= 1 here: the break above guarantees
+            # ub[batch[0]] >= theta
             cut = np.searchsorted(-ub[batch], -theta, side="right")
-            batch = batch[:cut] if cut > 0 else batch[:1]
+            batch = batch[:cut]
         pos += len(batch)
         sbatch = np.sort(batch)
         any_hit = False
@@ -322,8 +326,10 @@ def slab_topk_adv(
         if len(best_ids) >= k and ub[batch[0]] < theta:
             break
         if len(best_ids) >= k:
+            # cut >= 1 here: the break above guarantees
+            # ub[batch[0]] >= theta
             cut = np.searchsorted(-ub[batch], -theta, side="right")
-            batch = batch[:cut] if cut > 0 else batch[:1]
+            batch = batch[:cut]
         pos += len(batch)
         sbatch = np.sort(batch)
         any_hit = False
@@ -411,18 +417,7 @@ def make_adv_slab_scorer(
             boost[loc] = np.log1p(
                 factor * right["pr"].to_numpy(dtype=np.float64)
             )
-        chunks = [
-            (
-                TermChunk(r.postings, r.skips, r.block_max),
-                float(r.idf),
-                float(r.avgdl),
-                float(r.bscale),
-                int(r.clause),
-                int(r.fld),
-                int(r.req),
-            )
-            for r in left.itertuples()
-        ]
+        chunks = _adv_chunks_from_rows(left.itertuples())
         ids, sc = slab_topk_adv(
             chunks, slab * slab_size, slab_size, block_size, k, k1, b,
             boost=boost, n_required=n_required,
@@ -445,18 +440,7 @@ def make_adv_slab_scorer_plain(
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         slab = int(pdf["slab"].iloc[0])
-        chunks = [
-            (
-                TermChunk(r.postings, r.skips, r.block_max),
-                float(r.idf),
-                float(r.avgdl),
-                float(r.bscale),
-                int(r.clause),
-                int(r.fld),
-                int(r.req),
-            )
-            for r in pdf.itertuples()
-        ]
+        chunks = _adv_chunks_from_rows(pdf.itertuples())
         ids, sc = slab_topk_adv(
             chunks, slab * slab_size, slab_size, block_size, k, k1, b,
             boost=None, n_required=n_required,
