@@ -4,26 +4,37 @@ Closes the last multimodal scope gap (VERDICT r4 missing-item 3): the
 reference decodes no images at all, but the LLM-pipeline brief asks
 for multimodal columns and real corpora are mostly JPEG.  This module
 implements ITU-T T.81 *baseline sequential DCT* (SOF0; SOF1
-extended-sequential decodes identically at 8-bit):
+extended-sequential decodes identically at 8-bit) AND *progressive
+DCT* (SOF2, Annex G.1.2):
 
 - marker parse (DQT / SOF / DHT / SOS / DRI, APPn/COM skipped)
 - canonical Huffman entropy decode with 0xFF00 byte-unstuffing and
   RSTn restart handling (DC predictors reset, bit reader re-aligned)
+- progressive scan accumulation: spectral selection (Ss..Se band
+  scans, interleaved DC / single-component AC) and successive
+  approximation (point transform Al with DC bit refinement and the
+  G.1.2.3 AC refinement flow — EOBn end-of-band runs, ZRL skips,
+  correction bits on already-nonzero history)
 - dequantize -> inverse zigzag -> 8x8 IDCT as two numpy matmuls
+  (vectorized einsum over all blocks on the progressive path)
 - subsampled component assembly + nearest upsampling, JFIF
   YCbCr -> RGB
 
-and the matching encoder (FDCT + quantize + the spec's Annex K
-example Huffman tables) so tests can pin the decoder against a
-payload built from first principles — the same twin strategy as
-``encode_png``/``_decode_png`` (ops/multimodal.py).  JPEG is lossy,
-so the roundtrip pin is exactness on DC-only (per-block-constant)
-images with quant=1 — where FDCT->IDCT is exact — and a small bounded
-error elsewhere.
+and the matching encoders (FDCT + quantize; Annex K example tables
+for baseline, per-scan stats-pass-optimized tables for progressive)
+so tests can pin the decoder against a payload built from first
+principles — the same twin strategy as ``encode_png``/``_decode_png``
+(ops/multimodal.py).  JPEG is lossy, so the roundtrip pin is
+exactness on DC-only (per-block-constant) images with quant=1 — where
+FDCT->IDCT is exact — and a small bounded error elsewhere.  The
+progressive twin is pinned harder: its default scan script refines
+every coefficient bit down to Al=0, and both encoders quantize the
+same shared coefficient grids, so decoding the progressive stream is
+PIXEL-IDENTICAL to decoding the baseline stream of the same image.
 
 Out of scope, each behind an explicit error (quarantined row-wise by
-``extract_image_features``): progressive (SOF2), arithmetic coding,
-12-bit precision, lossless/hierarchical modes.
+``extract_image_features``): arithmetic coding, 12-bit precision,
+lossless/hierarchical modes.
 
 The per-bit entropy loop is Python and therefore the slow path
 (~1 MB/s); it exists for correctness and plumbing tests.  In a
@@ -187,7 +198,8 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Baseline JPEG -> (H, W) gray or (H, W, 3) RGB uint8."""
+    """Baseline or progressive JPEG -> (H, W) gray or (H, W, 3) RGB
+    uint8."""
     if buf[:3] != b"\xff\xd8\xff":
         raise ValueError("bad JPEG signature")
     pos = 2
@@ -195,7 +207,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], _Huff] = {}  # (class, id)
     restart_interval = 0
     frame = None
-    while pos + 4 <= len(buf):
+    coefs = None  # progressive: per-component zigzag coefficient grids
+    while pos + 2 <= len(buf):
         if buf[pos] != 0xFF:
             pos += 1
             continue
@@ -204,6 +217,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             pos += 2
             continue
         if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > len(buf):
             break
         ln = int.from_bytes(buf[pos + 2:pos + 4], "big")
         seg = buf[pos + 4:pos + 2 + ln]
@@ -223,7 +238,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                     ).astype(np.int32)
                     i += 128
                 qt[tid] = tab  # zigzag order
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext-seq
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
             prec, h, w, nc = seg[0], int.from_bytes(
                 seg[1:3], "big"
             ), int.from_bytes(seg[3:5], "big"), seg[5]
@@ -235,13 +250,16 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+            if marker == 0xC2:
+                coefs = _alloc_coef_grids(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            kind = "progressive" if marker == 0xC2 else "non-baseline"
             raise NotImplementedError(
-                f"JPEG {kind} mode (SOF{marker - 0xC0}): only baseline "
-                "sequential (SOF0/SOF1) is implemented"
+                f"JPEG non-baseline mode (SOF{marker - 0xC0}): only "
+                "baseline sequential (SOF0/SOF1) and progressive "
+                "(SOF2) are implemented"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -258,15 +276,34 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan = {}
+            data_pos = pos + 2 + ln
+            if not frame["progressive"]:
+                scan = {}
+                for c in range(ns):
+                    cs, tda = seg[1 + 2 * c], seg[2 + 2 * c]
+                    scan[cs] = (tda >> 4, tda & 15)
+                return _decode_scan(
+                    buf, data_pos, frame, scan, qt, huff, restart_interval
+                )
+            scan_comps = []
+            by_id = {c["id"]: i for i, c in enumerate(frame["comps"])}
             for c in range(ns):
                 cs, tda = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan[cs] = (tda >> 4, tda & 15)
-            data_pos = pos + 2 + ln
-            return _decode_scan(
-                buf, data_pos, frame, scan, qt, huff, restart_interval
+                if cs not in by_id:
+                    raise ValueError(f"scan references unknown comp {cs}")
+                scan_comps.append((by_id[cs], tda >> 4, tda & 15))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = _progressive_scan(
+                buf, data_pos, frame, scan_comps, ss, se,
+                ahal >> 4, ahal & 15, huff, restart_interval, coefs
             )
+            frame["saw_scan"] = True
+            continue
         pos += 2 + ln
+    if frame is not None and frame["progressive"] \
+            and frame.get("saw_scan"):
+        return _reconstruct_progressive(frame, qt, coefs)
     raise ValueError("no SOS marker found")
 
 
@@ -325,6 +362,12 @@ def _decode_scan(buf, pos, frame, scan, qt, huff, ri):
         except (_RestartBoundary, _ScanEnd, IndexError) as e:
             raise ValueError(f"truncated JPEG entropy data at MCU {m}") \
                 from e
+    return _finish_planes(planes, comps, h, w, hmax, vmax)
+
+
+def _finish_planes(planes, comps, h, w, hmax, vmax):
+    """Upsample each component plane to full resolution, crop, and
+    color-convert (JFIF YCbCr -> RGB for 3 components)."""
     out = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -338,6 +381,232 @@ def _decode_scan(buf, pos, frame, scan, qt, huff, ri):
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decode — ITU-T T.81 Annex G.1.2
+# ---------------------------------------------------------------------------
+
+def _frame_geometry(frame):
+    """(hmax, vmax, mcux, mcuy) plus per-component padded / coded
+    block grids.  Interleaved scans cover the MCU-padded grid
+    (bh_pad, bw_pad); non-interleaved scans cover only the
+    component's own ceil(samples/8) grid (nby, nbx) — T.81 A.2."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    geom = []
+    for c in comps:
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        geom.append({
+            "bw_pad": mcux * c["h"], "bh_pad": mcuy * c["v"],
+            "nbx": -(-cw // 8), "nby": -(-ch // 8),
+        })
+    return hmax, vmax, mcux, mcuy, geom
+
+
+def _alloc_coef_grids(frame):
+    """Per-component (bh_pad, bw_pad, 64) zigzag coefficient grids
+    that successive progressive scans accumulate into."""
+    _, _, _, _, geom = _frame_geometry(frame)
+    return [np.zeros((g["bh_pad"], g["bw_pad"], 64), np.int32)
+            for g in geom]
+
+
+def _next_marker(buf: bytes, pos: int) -> int:
+    """Position of the next genuine marker at/after ``pos`` (skips
+    0xFF00 stuffing, fill bytes, and stray RSTn)."""
+    i = pos
+    while i + 1 < len(buf):
+        if buf[i] == 0xFF and buf[i + 1] != 0x00:
+            if 0xD0 <= buf[i + 1] <= 0xD7:
+                i += 2
+                continue
+            if buf[i + 1] == 0xFF:  # fill byte
+                i += 1
+                continue
+            return i
+        i += 1
+    return len(buf)
+
+
+def _decode_dc_unit(br, dc_t, coef, pred, ci, ah, al):
+    """One block's DC contribution.  First pass (Ah=0): Huffman
+    diff << Al with the running predictor; refinement: one raw bit
+    ORed into bit Al (G.1.2.1)."""
+    if ah == 0:
+        s = br.decode(dc_t)
+        diff = _extend(br.read_bits(s), s) if s else 0
+        pred[ci] += diff
+        coef[0] = pred[ci] << al
+    else:
+        if br.read_bit():
+            coef[0] |= 1 << al
+
+
+def _decode_ac_first(br, ac_t, coef, ss, se, al, eobrun):
+    """First AC pass for one block (G.1.2.2): run/size symbols with
+    EOBn end-of-band runs spanning blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.decode(ac_t)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += br.read_bits(r)
+            return eobrun - 1
+        k += r
+        if k > se:
+            raise ValueError("progressive AC index overflow")
+        coef[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _decode_ac_refine(br, ac_t, coef, ss, se, al, eobrun):
+    """AC refinement pass for one block (G.1.2.3): newly-significant
+    +-1 insertions plus correction bits on already-nonzero
+    coefficients.  The two's-complement ``coef & p1`` test and the
+    magnitude-directed increment mirror the spec's flowchart."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.decode(ac_t)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                # r == 15: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude")
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                if coef[k] != 0:
+                    if br.read_bit() and (int(coef[k]) & p1) == 0:
+                        coef[k] += p1 if coef[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k] != 0:
+                if br.read_bit() and (int(coef[k]) & p1) == 0:
+                    coef[k] += p1 if coef[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _progressive_scan(buf, pos, frame, scan_comps, ss, se, ah, al,
+                      huff, ri, coefs):
+    """Consume one progressive scan's entropy data, accumulating into
+    ``coefs``; returns the buffer position of the next marker."""
+    comps = frame["comps"]
+    hmax, vmax, mcux, mcuy, geom = _frame_geometry(frame)
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if ss > 0 and len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    br = _BitReader(buf, pos)
+    pred = [0] * len(comps)
+    eobrun = 0
+    rst_n = 0
+
+    # the scan's coded units: interleaved MCUs or single-comp blocks
+    if ss == 0 and len(scan_comps) > 1:
+        units = mcux * mcuy
+    else:
+        ci = scan_comps[0][0]
+        units = geom[ci]["nby"] * geom[ci]["nbx"]
+
+    try:
+        for u in range(units):
+            if ri and u and u % ri == 0:
+                br.align_restart(rst_n)
+                rst_n = (rst_n + 1) & 7
+                pred = [0] * len(comps)
+                eobrun = 0
+            if ss == 0 and len(scan_comps) > 1:  # interleaved DC
+                for ci, td, _ in scan_comps:
+                    c = comps[ci]
+                    dc_t = huff.get((0, td)) if ah == 0 else None
+                    if ah == 0 and dc_t is None:
+                        raise ValueError(f"missing DC table {td}")
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            y = (u // mcux) * c["v"] + by
+                            x = (u % mcux) * c["h"] + bx
+                            _decode_dc_unit(
+                                br, dc_t, coefs[ci][y, x], pred, ci,
+                                ah, al)
+            else:
+                ci, td, ta = scan_comps[0]
+                g = geom[ci]
+                y, x = divmod(u, g["nbx"])
+                coef = coefs[ci][y, x]
+                if ss == 0:
+                    dc_t = huff.get((0, td)) if ah == 0 else None
+                    if ah == 0 and dc_t is None:
+                        raise ValueError(f"missing DC table {td}")
+                    _decode_dc_unit(br, dc_t, coef, pred, ci, ah, al)
+                elif ah == 0:
+                    ac_t = huff.get((1, ta))
+                    if ac_t is None:
+                        raise ValueError(f"missing AC table {ta}")
+                    eobrun = _decode_ac_first(
+                        br, ac_t, coef, ss, se, al, eobrun)
+                else:
+                    ac_t = huff.get((1, ta))
+                    if ac_t is None:
+                        raise ValueError(f"missing AC table {ta}")
+                    eobrun = _decode_ac_refine(
+                        br, ac_t, coef, ss, se, al, eobrun)
+    except (_RestartBoundary, _ScanEnd, IndexError) as e:
+        raise ValueError("truncated progressive JPEG scan") from e
+    return _next_marker(buf, br.pos)
+
+
+def _reconstruct_progressive(frame, qt, coefs):
+    """Dequantize + IDCT every accumulated block (vectorized einsum)
+    and assemble the final image."""
+    comps = frame["comps"]
+    hmax, vmax, _, _, _ = _frame_geometry(frame)
+    planes = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qt:
+            raise ValueError(f"missing quant table {c['tq']}")
+        q = qt[c["tq"]].astype(np.float64)
+        bh, bw = coefs[ci].shape[:2]
+        zz = coefs[ci].reshape(-1, 64).astype(np.float64) * q
+        nat = np.zeros_like(zz)
+        nat[:, ZIGZAG] = zz
+        spatial = np.einsum(
+            "ij,njk,kl->nil", _C.T, nat.reshape(-1, 8, 8), _C)
+        plane = spatial.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3) \
+            .reshape(bh * 8, bw * 8)
+        planes.append(plane)
+    return _finish_planes(planes, comps, frame["h"], frame["w"],
+                          hmax, vmax)
 
 
 class _BitWriter:
@@ -394,20 +663,19 @@ def _encode_block(bw, zz, pred, dc_t, ac_t):
     return int(zz[0])
 
 
-def encode_jpeg(
-    arr: np.ndarray,
-    quant: int | np.ndarray = 1,
-    subsampling: str = "4:4:4",
-    restart_interval: int = 0,
-) -> bytes:
-    """Baseline JPEG encoder (test twin of ``decode_jpeg``).
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+        + payload
 
-    ``arr``: (H, W) gray or (H, W, 3) RGB uint8.  ``quant``: scalar or
-    64-entry zigzag table applied to ALL components; the default 1
-    makes the DC path exact on per-block-constant inputs.
-    ``subsampling``: "4:4:4" or "4:2:0" (3-channel only).
-    ``restart_interval``: emit DRI + RSTn every that many MCUs.
-    """
+
+def _dht_seg(tc: int, th: int, bits, vals) -> bytes:
+    return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+
+def _prep_planes(arr, quant, subsampling):
+    """Color-convert, subsample, and MCU-pad the input; shared by the
+    baseline and progressive encoders so both quantize identical
+    coefficient grids."""
     a = np.ascontiguousarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     h, w = a.shape[0], a.shape[1]
@@ -446,15 +714,53 @@ def encode_jpeg(
         p = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
                    mode="edge")
         padded.append(p)
+    return padded, samp, h, w, mcux, mcuy, q
+
+
+def _quantized_coefs(padded, q):
+    """Per-plane (bh, bw, 64) int32 zigzag coefficient grids.  The
+    per-block op order (matmul then round) is the original baseline
+    emitter's, so encode_jpeg's output is byte-identical to before the
+    refactor and the progressive twin quantizes the SAME values."""
+    out = []
+    for p in padded:
+        bh, bw = p.shape[0] // 8, p.shape[1] // 8
+        cf = np.empty((bh, bw, 64), np.int32)
+        for y in range(bh):
+            for x in range(bw):
+                block = p[y * 8:y * 8 + 8, x * 8:x * 8 + 8]
+                coef = (_C @ block @ _C.T).reshape(-1)
+                cf[y, x] = np.round(coef[ZIGZAG] / q).astype(np.int32)
+        out.append(cf)
+    return out
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quant: int | np.ndarray = 1,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JPEG encoder (test twin of ``decode_jpeg``).
+
+    ``arr``: (H, W) gray or (H, W, 3) RGB uint8.  ``quant``: scalar or
+    64-entry zigzag table applied to ALL components; the default 1
+    makes the DC path exact on per-block-constant inputs.
+    ``subsampling``: "4:4:4" or "4:2:0" (3-channel only).
+    ``restart_interval``: emit DRI + RSTn every that many MCUs.
+    """
+    padded, samp, h, w, mcux, mcuy, q = _prep_planes(
+        arr, quant, subsampling)
+    coefs = _quantized_coefs(padded, q)
 
     dc_l, ac_l = _Huff(DC_LUMA_BITS, DC_LUMA_VALS), \
         _Huff(AC_LUMA_BITS, AC_LUMA_VALS)
     dc_c, ac_c = _Huff(DC_CHROMA_BITS, DC_CHROMA_VALS), \
         _Huff(AC_CHROMA_BITS, AC_CHROMA_VALS)
-    tables = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(planes) - 1)
+    tables = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(padded) - 1)
 
     bw = _BitWriter()
-    pred = [0] * len(planes)
+    pred = [0] * len(padded)
     rst_n = 0
     n_mcu = mcux * mcuy
     for m in range(n_mcu):
@@ -462,50 +768,343 @@ def encode_jpeg(
             bw.flush()
             bw.out += bytes([0xFF, 0xD0 + rst_n])
             rst_n = (rst_n + 1) & 7
-            pred = [0] * len(planes)
-        for pi, p in enumerate(padded):
+            pred = [0] * len(padded)
+        for pi in range(len(padded)):
             sh, sv = samp[pi]
             for by in range(sv):
                 for bx in range(sh):
-                    y0 = (m // mcux * sv + by) * 8
-                    x0 = (m % mcux * sh + bx) * 8
-                    block = p[y0:y0 + 8, x0:x0 + 8]
-                    coef = (_C @ block @ _C.T).reshape(-1)
-                    zz = np.round(coef[ZIGZAG] / q).astype(np.int32)
+                    zz = coefs[pi][m // mcux * sv + by,
+                                   m % mcux * sh + bx]
                     pred[pi] = _encode_block(
                         bw, zz, pred[pi], tables[pi][0], tables[pi][1]
                     )
     bw.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
-            + payload
-
     out = bytearray(b"\xff\xd8")
-    out += seg(0xDB, bytes([0]) + bytes(q.astype(np.uint8).tolist()))
-    nc = len(planes)
+    out += _seg(0xDB, bytes([0]) + bytes(q.astype(np.uint8).tolist()))
+    nc = len(padded)
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + \
         bytes([nc])
     for ci in range(nc):
         sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0])
-    out += seg(0xC0, sof)
-
-    def dht(tc, th, bits, vals):
-        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
-
-    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
-    out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    out += _seg(0xC0, sof)
+    out += _dht_seg(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += _dht_seg(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
     if nc > 1:
-        out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
-        out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+        out += _dht_seg(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += _dht_seg(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
     if restart_interval:
-        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
     sos = bytes([nc])
     for ci in range(nc):
         t = 0 if ci == 0 else 1
         sos += bytes([ci + 1, (t << 4) | t])
     sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
+    out += _seg(0xDA, sos)
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) encode — the test twin, T.81 Annex G.1.2
+# ---------------------------------------------------------------------------
+
+def _jpeg_huffman_table(freqs: dict) -> tuple[list[int], list[int]]:
+    """(BITS, HUFFVAL) for the observed symbol frequencies.  A pseudo
+    symbol 256 with frequency 1 is forced to a maximum-length code and
+    then dropped, which reserves the all-ones code of the longest
+    length exactly as T.81 Annex C requires (1-bits pad to markers
+    must never decode).  Lengths are capped at 16."""
+    from .webp import _huffman_lengths  # shared length-limited builder
+
+    f = {s: int(c) for s, c in freqs.items() if c > 0}
+    f[256] = 1
+    lengths = _huffman_lengths(f, 16)
+    mx = max(lengths.values())
+    if lengths.get(256, 0) != mx:
+        other = next(s for s in lengths if s != 256 and lengths[s] == mx)
+        lengths[other], lengths[256] = lengths[256], mx
+    order = sorted((ln, s) for s, ln in lengths.items())
+    bits = [0] * 16
+    vals = []
+    for ln, s in order:
+        if s == 256:
+            continue
+        bits[ln - 1] += 1
+        vals.append(s)
+    return bits, vals
+
+
+class _StatSink:
+    """Stats pass: count Huffman symbols per (class, table id); raw
+    bits and restarts cost nothing."""
+
+    def __init__(self):
+        self.freq: dict[tuple[int, int], dict] = {}
+
+    def symbol(self, cls: int, tid: int, s: int) -> None:
+        d = self.freq.setdefault((cls, tid), {})
+        d[s] = d.get(s, 0) + 1
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+    def restart(self, n: int) -> None:
+        pass
+
+
+class _EmitSink:
+    """Emit pass: write codes from the tables the stats pass built."""
+
+    def __init__(self, tables: dict):
+        self.tables = tables  # (cls, tid) -> _Huff
+        self.bw = _BitWriter()
+
+    def symbol(self, cls: int, tid: int, s: int) -> None:
+        ln, code = self.tables[(cls, tid)].codes[s]
+        self.bw.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.bw.write(v, n)
+
+    def restart(self, n: int) -> None:
+        self.bw.flush()
+        self.bw.out += bytes([0xFF, 0xD0 + n])
+
+
+def _flush_eobrun(sink, st, ta: int) -> None:
+    """Emit the pending EOBn symbol (plus its appended-length bits and
+    any buffered correction bits)."""
+    if st["eobrun"] > 0:
+        eb = st["eobrun"]
+        nbits = eb.bit_length() - 1
+        sink.symbol(1, ta, nbits << 4)
+        if nbits:
+            sink.bits(eb & ((1 << nbits) - 1), nbits)
+        st["eobrun"] = 0
+    for b in st["br"]:
+        sink.bits(b, 1)
+    st["br"] = []
+
+
+def _enc_ac_first(coef, ss, se, al, st, sink, ta) -> None:
+    """First AC pass for one block (G.1.2.2 encoder): magnitudes are
+    point-transformed by truncation toward zero."""
+    r = 0
+    for k in range(ss, se + 1):
+        t = int(coef[k])
+        t = -((-t) >> al) if t < 0 else (t >> al)
+        if t == 0:
+            r += 1
+            continue
+        _flush_eobrun(sink, st, ta)
+        while r > 15:
+            sink.symbol(1, ta, 0xF0)
+            r -= 16
+        s = abs(t).bit_length()
+        sink.symbol(1, ta, (r << 4) | s)
+        sink.bits(t if t > 0 else t + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        st["eobrun"] += 1
+        if st["eobrun"] == 0x7FFF:
+            _flush_eobrun(sink, st, ta)
+
+
+def _enc_ac_refine(coef, ss, se, al, st, sink, ta) -> None:
+    """AC refinement pass for one block (G.1.2.3 encoder): emit
+    newly-significant +-1 coefficients interleaved with buffered
+    correction bits for already-nonzero history."""
+    absv = []
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        t = abs(int(coef[k])) >> al
+        absv.append(t)
+        if t == 1:
+            eob = k
+    r = 0
+    br_bits: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            _flush_eobrun(sink, st, ta)
+            sink.symbol(1, ta, 0xF0)
+            r -= 16
+            for b in br_bits:
+                sink.bits(b, 1)
+            br_bits = []
+        if t > 1:
+            br_bits.append(t & 1)
+            continue
+        _flush_eobrun(sink, st, ta)
+        sink.symbol(1, ta, (r << 4) | 1)
+        sink.bits(0 if coef[k] < 0 else 1, 1)
+        for b in br_bits:
+            sink.bits(b, 1)
+        br_bits = []
+        r = 0
+    if r > 0 or br_bits:
+        st["eobrun"] += 1
+        st["br"].extend(br_bits)
+        if st["eobrun"] == 0x7FFF or len(st["br"]) > 900:
+            _flush_eobrun(sink, st, ta)
+
+
+def _walk_prog_scan(coefs, frame, scan, ri, sink) -> None:
+    """Drive one progressive scan over the coefficient grids, feeding
+    Huffman symbols / raw bits / restarts into ``sink``.  Shared by
+    the stats and emit passes so the two can never diverge."""
+    comp_list, ss, se, ah, al = scan
+    comps = frame["comps"]
+    hmax, vmax, mcux, mcuy, geom = _frame_geometry(frame)
+    interleaved = ss == 0 and len(comp_list) > 1
+    if ss > 0 and len(comp_list) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if interleaved:
+        units = mcux * mcuy
+    else:
+        g = geom[comp_list[0]]
+        units = g["nby"] * g["nbx"]
+    pred = {ci: 0 for ci in comp_list}
+    st = {"eobrun": 0, "br": []}
+    rst_n = 0
+    ta_of = {ci: (0 if ci == 0 else 1) for ci in comp_list}
+    for u in range(units):
+        if ri and u and u % ri == 0:
+            if ss > 0:
+                _flush_eobrun(sink, st, ta_of[comp_list[0]])
+            sink.restart(rst_n)
+            rst_n = (rst_n + 1) & 7
+            pred = {ci: 0 for ci in comp_list}
+        if ss == 0:  # DC scan (interleaved or single-component)
+            for ci in comp_list:
+                c = comps[ci]
+                nb = [(0, 0)]
+                if interleaved:
+                    nb = [((u // mcux) * c["v"] + by,
+                           (u % mcux) * c["h"] + bx)
+                          for by in range(c["v"]) for bx in range(c["h"])]
+                else:
+                    g = geom[ci]
+                    nb = [divmod(u, g["nbx"])]
+                for (y, x) in nb:
+                    c0 = int(coefs[ci][y, x, 0])
+                    if ah == 0:
+                        val = c0 >> al
+                        diff = val - pred[ci]
+                        pred[ci] = val
+                        s = abs(diff).bit_length()
+                        sink.symbol(0, ta_of[ci], s)
+                        if s:
+                            sink.bits(
+                                diff if diff > 0 else diff + (1 << s) - 1,
+                                s)
+                    else:
+                        sink.bits((c0 >> al) & 1, 1)
+        else:  # AC scan
+            ci = comp_list[0]
+            g = geom[ci]
+            y, x = divmod(u, g["nbx"])
+            coef = coefs[ci][y, x]
+            if ah == 0:
+                _enc_ac_first(coef, ss, se, al, st, sink, ta_of[ci])
+            else:
+                _enc_ac_refine(coef, ss, se, al, st, sink, ta_of[ci])
+    if ss > 0:
+        _flush_eobrun(sink, st, ta_of[comp_list[0]])
+
+
+def _default_scan_script(nc: int):
+    """libjpeg-style standard progressive script: DC first at Al=1,
+    spectral-split ACs under successive approximation, then the
+    refinement sweeps down to Al=0."""
+    if nc == 1:
+        return [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),
+        ([0], 1, 5, 0, 2),
+        ([2], 1, 63, 0, 1),
+        ([1], 1, 63, 0, 1),
+        ([0], 6, 63, 0, 2),
+        ([0], 1, 63, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([2], 1, 63, 1, 0),
+        ([0], 1, 63, 1, 0),
+        ([1], 1, 63, 1, 0),
+    ]
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quant: int | np.ndarray = 1,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+    scans=None,
+) -> bytes:
+    """Progressive JPEG encoder (test twin of the SOF2 decode path).
+
+    Quantizes the SAME coefficient grids as ``encode_jpeg`` (shared
+    ``_prep_planes``/``_quantized_coefs``), emits SOF2 plus a scan
+    script (default: the libjpeg-style spectral-selection +
+    successive-approximation script, which refines every coefficient
+    bit down to Al=0 — so ``decode_jpeg`` of the progressive stream is
+    PIXEL-IDENTICAL to decoding the baseline stream of the same
+    image).  Each scan gets its own optimized Huffman table(s) built
+    by a stats pass and shipped in a per-scan DHT.
+
+    ``scans``: optional list of (comp_indices, Ss, Se, Ah, Al).
+    """
+    padded, samp, h, w, mcux, mcuy, q = _prep_planes(
+        arr, quant, subsampling)
+    coefs = _quantized_coefs(padded, q)
+    nc = len(padded)
+    script = scans if scans is not None else _default_scan_script(nc)
+    comps = [{"id": ci + 1, "h": samp[ci][0], "v": samp[ci][1],
+              "tq": 0} for ci in range(nc)]
+    frame = {"h": h, "w": w, "comps": comps}
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0]) + bytes(q.astype(np.uint8).tolist()))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + \
+        bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0])
+    out += _seg(0xC2, sof)
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+
+    for scan in script:
+        comp_list, ss, se, ah, al = scan
+        if any(ci >= nc for ci in comp_list):
+            raise ValueError("scan references missing component")
+        stats = _StatSink()
+        _walk_prog_scan(coefs, frame, scan, restart_interval, stats)
+        tables = {}
+        for key, freq in sorted(stats.freq.items()):
+            bits, vals = _jpeg_huffman_table(freq)
+            out += _dht_seg(key[0], key[1], bits, vals)
+            tables[key] = _Huff(bits, vals)
+        sos = bytes([len(comp_list)])
+        for ci in comp_list:
+            t = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (t << 4) | t])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        emit = _EmitSink(tables)
+        _walk_prog_scan(coefs, frame, scan, restart_interval, emit)
+        emit.bw.flush()
+        out += emit.bw.out
     out += b"\xff\xd9"
     return bytes(out)

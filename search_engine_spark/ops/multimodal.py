@@ -12,11 +12,11 @@ decodes for real as RIFF/WAVE PCM (``ops/wav.py`` ->
 ``audio_windows_pcm``) and video containers parse for real as
 ISO-BMFF (``ops/mp4.py`` -> ``sample_frames_mp4``: true stco/stsz
 sample offsets, stss keyframes) — codec payloads inside stay opaque.
-Lossy VP8, the VP8L cross-color transform, progressive/arithmetic
-JPEG, and A/V entropy codecs (H.264, MP3, ...) require decoders that
-are not in this container and raise a documented
-NotImplementedError; install pillow/pyav and extend the dispatch
-seams to add them.  The Spark-side plumbing is real and tested
+Progressive JPEG (SOF2) and the VP8L cross-color transform decode
+for real too.  Lossy VP8, arithmetic-coded JPEG, and A/V entropy
+codecs (H.264, MP3, ...) require decoders that are not in this
+container and raise a documented NotImplementedError; install
+pillow/pyav and extend the dispatch seams to add them.  The Spark-side plumbing is real and tested
 either way: binary columns flow through Arrow `mapInPandas` in
 bounded batches, schemas are explicit, bad payloads are quarantined
 row-wise (``ok=false``), and the partitioning story (repartition by
@@ -76,9 +76,11 @@ def decode_image(payload: bytes) -> np.ndarray:
     - PNG (8-bit, non-interlaced; color types 0 gray / 2 RGB /
       3 palette / 4 gray+alpha / 6 RGBA; all 5 row filters)
                   -> (H, W) / (H, W, 2) / (H, W, 3) / (H, W, 4) uint8
-    - JPEG baseline sequential (SOF0/SOF1: Huffman entropy decode
-      with restarts, dequant + IDCT, subsampling, JFIF YCbCr->RGB;
-      ops/jpeg.py)               -> (H, W) / (H, W, 3) uint8
+    - JPEG baseline sequential (SOF0/SOF1) AND progressive (SOF2:
+      spectral selection + successive approximation scans, Annex
+      G.1.2) — Huffman entropy decode with restarts, dequant + IDCT,
+      subsampling, JFIF YCbCr->RGB; ops/jpeg.py
+                                 -> (H, W) / (H, W, 3) uint8
 
     - GIF 87a/89a (variable-width LZW, interlace, local/global
       palettes, transparency + disposal compositing; first frame via
@@ -88,9 +90,12 @@ def decode_image(payload: bytes) -> np.ndarray:
       long-distance refs, subtract-green / palette / predictor
       transforms; ops/webp.py)   -> (H, W, 3) / (H, W, 4) uint8
 
-    Lossy VP8, the VP8L cross-color transform and near-distance
-    codes, and progressive/arithmetic JPEG stay behind documented
-    NotImplementedErrors — install pillow and extend this dispatch.
+    - WebP lossless also inverts the CROSS_COLOR transform (per-tile
+      signed multipliers, RFC 9649 §4.2.1)
+
+    Lossy VP8, VP8L near-distance codes, and arithmetic-coded JPEG
+    stay behind documented NotImplementedErrors — install pillow and
+    extend this dispatch.
     """
     buf = bytes(payload)
     if buf[:2] in (b"P6", b"P5"):

@@ -23,12 +23,18 @@ Bitstream Specification (RFC 9649):
 - meta-prefix groups on the main image (entropy image selecting one
   of several 5-code groups per tile)
 
-Out of scope, behind explicit errors: lossy VP8, the cross-color
-transform (type 1), and near-distance plane codes (<=120, the 2D
-neighborhood map).  Real libwebp encoders may emit those — such
-payloads raise and quarantine row-wise through ``decode_features``;
-installing pillow at the ``decode_image`` dispatch seam covers them
-without touching any Spark-side code.
+- CROSS_COLOR transform (type 1): per-tile ColorTransformElement
+  multipliers (green_to_red in the tile pixel's blue channel,
+  green_to_blue in green, red_to_blue in red), delta
+  ``(int8)m * (int8)c >> 5`` applied red-then-blue on decode
+  exactly as RFC 9649 §4.2.1 specifies (the restored red feeds the
+  red_to_blue term)
+
+Out of scope, behind explicit errors: lossy VP8 and near-distance
+plane codes (<=120, the 2D neighborhood map).  Real libwebp encoders
+may emit those — such payloads raise and quarantine row-wise through
+``decode_features``; installing pillow at the ``decode_image``
+dispatch seam covers them without touching any Spark-side code.
 
 The encoder twin (``encode_webp``) emits the exact decoder subset —
 optional subtract-green / exact palette / predictor grid / color
@@ -452,6 +458,38 @@ def _apply_inverse_predictor(pix: np.ndarray, modes: np.ndarray,
     return out
 
 
+def _ct_delta(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """RFC 9649 §4.2.1 ColorTransformDelta: ``(int8)m * (int8)c >> 5``
+    (both operands reinterpreted as signed bytes, arithmetic shift)."""
+    ms = m.astype(np.uint8).astype(np.int8).astype(np.int32)
+    cs = c.astype(np.uint8).astype(np.int8).astype(np.int32)
+    return (ms * cs) >> 5
+
+
+def _cte_tiles(cte: np.ndarray, size_bits: int, h: int, w: int):
+    """Expand the (mh, mw) ColorTransformElement image to full-res
+    (green_to_red, green_to_blue, red_to_blue) planes.  Per the spec
+    the tile pixel carries green_to_red in its BLUE channel,
+    green_to_blue in GREEN, red_to_blue in RED."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    t = cte[yy >> size_bits, xx >> size_bits]
+    return t & 0xFF, (t >> 8) & 0xFF, (t >> 16) & 0xFF
+
+
+def _apply_inverse_cross_color(pix: np.ndarray, cte: np.ndarray,
+                               size_bits: int) -> np.ndarray:
+    h, w = pix.shape
+    gtr, gtb, rtb = _cte_tiles(cte, size_bits, h, w)
+    green = (pix >> 8) & 0xFF
+    red = ((pix >> 16) & 0xFF).astype(np.int32)
+    blue = (pix & 0xFF).astype(np.int32)
+    red = (red + _ct_delta(gtr, green)) & 0xFF
+    blue = blue + _ct_delta(gtb, green)
+    blue = (blue + _ct_delta(rtb, red)) & 0xFF  # restored red feeds rtb
+    return (pix & np.uint32(0xFF00FF00)) \
+        | (red.astype(np.uint32) << 16) | blue.astype(np.uint32)
+
+
 def decode_webp(payload: bytes) -> np.ndarray:
     """Decode a WebP payload (VP8L lossless subset — see module
     docstring) to (H, W, 3) or (H, W, 4) uint8 (per the stream's
@@ -500,11 +538,12 @@ def decode_webp(payload: bytes) -> np.ndarray:
             mode_img = _decode_image_stream(br, mw, mh, is_main=False)
             modes = ((mode_img >> 8) & 0xFF).astype(np.int64)
             transforms.append((t, (size_bits, modes)))
-        elif t == 1:
-            raise NotImplementedError(
-                "VP8L cross-color transform: not in this subset — "
-                "use pillow"
-            )
+        elif t == 1:  # CROSS_COLOR
+            size_bits = br.bits(3) + 2
+            mw = (read_w + (1 << size_bits) - 1) >> size_bits
+            mh = (h + (1 << size_bits) - 1) >> size_bits
+            cte = _decode_image_stream(br, mw, mh, is_main=False)
+            transforms.append((t, (size_bits, cte)))
         elif t == 2:  # SUBTRACT_GREEN
             transforms.append((t, None))
         else:  # COLOR_INDEXING
@@ -549,6 +588,9 @@ def decode_webp(payload: bytes) -> np.ndarray:
             r = (((pix >> 16) & 0xFF) + g) & 0xFF
             b = ((pix & 0xFF) + g) & 0xFF
             pix = (pix & 0xFF00FF00) | (r << 16) | b
+        elif t == 1:  # CROSS_COLOR inverse
+            size_bits, cte = data
+            pix = _apply_inverse_cross_color(pix, cte, size_bits)
         elif t == 0:  # PREDICTOR inverse
             size_bits, modes = data
             pix = _apply_inverse_predictor(pix, modes, size_bits)
@@ -789,15 +831,21 @@ def encode_webp(
     subtract_green: bool = False,
     palette: bool = False,
     predictor_size_bits: int | None = None,
+    cross_color_size_bits: int | None = None,
 ) -> bytes:
     """VP8L-lossless encoder twin over the decoder's exact subset.
 
     ``palette`` (exact-color indexing, <=256 colors, sub-byte
-    bundling) excludes ``subtract_green``/``predictor_size_bits``;
-    ``predictor_size_bits`` writes a PREDICTOR transform whose tile
-    modes cycle deterministically through all 14 predictors.
+    bundling) excludes the other transforms; ``predictor_size_bits``
+    writes a PREDICTOR transform whose tile modes cycle
+    deterministically through all 14 predictors;
+    ``cross_color_size_bits`` writes a CROSS_COLOR transform whose
+    per-tile multipliers sweep the signed-byte range deterministically
+    (applied forward with the ORIGINAL red feeding the red_to_blue
+    term, the exact mirror of the decoder's restored-red order).
     """
-    if palette and (subtract_green or predictor_size_bits is not None):
+    if palette and (subtract_green or predictor_size_bits is not None
+                    or cross_color_size_bits is not None):
         raise ValueError("palette excludes other transforms here")
     argb, has_alpha = _to_argb(img)
     h, w = argb.shape
@@ -818,6 +866,33 @@ def encode_webp(
         r = (((argb >> 16) & 0xFF) - g) & 0xFF
         b = ((argb & 0xFF) - g) & 0xFF
         argb = (argb & np.uint32(0xFF00FF00)) | (r << 16) | b
+
+    if cross_color_size_bits is not None:
+        sb = int(cross_color_size_bits)
+        if not 2 <= sb <= 9:
+            raise ValueError("cross-color size_bits must be in [2, 9]")
+        bw.bits(1, 1)
+        bw.bits(1, 2)
+        bw.bits(sb - 2, 3)
+        mw = (w + (1 << sb) - 1) >> sb
+        mh = (h + (1 << sb) - 1) >> sb
+        ty, tx = np.mgrid[0:mh, 0:mw]
+        gtr_t = ((tx * 37 + ty * 101) % 256).astype(np.uint32)
+        gtb_t = ((tx * 59 + ty * 151 + 32) % 256).astype(np.uint32)
+        rtb_t = ((tx * 73 + ty * 199 + 64) % 256).astype(np.uint32)
+        cte = (np.uint32(0xFF) << 24) | (rtb_t << 16) | (gtb_t << 8) \
+            | gtr_t
+        _write_image_stream(bw, cte, is_main=False, cache_bits=0,
+                            use_lz77=False)
+        gtr, gtb, rtb = _cte_tiles(cte, sb, h, w)
+        green = (argb >> 8) & 0xFF
+        red = ((argb >> 16) & 0xFF).astype(np.int32)
+        blue = (argb & 0xFF).astype(np.int32)
+        new_red = (red - _ct_delta(gtr, green)) & 0xFF
+        new_blue = (blue - _ct_delta(gtb, green)
+                    - _ct_delta(rtb, red)) & 0xFF  # original red
+        argb = (argb & np.uint32(0xFF00FF00)) \
+            | (new_red.astype(np.uint32) << 16) | new_blue.astype(np.uint32)
 
     if predictor_size_bits is not None:
         sb = int(predictor_size_bits)

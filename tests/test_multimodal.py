@@ -370,15 +370,120 @@ def test_jpeg_bounded_error_and_shapes():
     assert np.abs(got.astype(int) - img.astype(int)).max() <= 1
 
 
+def test_jpeg_progressive_pixel_identical_to_baseline():
+    """The progressive twin's default scan script refines every
+    coefficient bit down to Al=0 and both encoders quantize the SAME
+    shared coefficient grids, so decoding the SOF2 stream must be
+    PIXEL-IDENTICAL to decoding the baseline stream of the same image
+    — across gray/RGB, 4:2:0 (including the padded-vs-coded block-grid
+    divergence at 24x24), odd shapes, restart markers, and sparse
+    high-quant coefficients (long EOB runs + ZRL refinement paths)."""
+    from search_engine_spark.ops import jpeg as J
+
+    rng = np.random.RandomState(11)
+    cases = [
+        (rng.randint(0, 256, (24, 17)).astype(np.uint8), {}),
+        (rng.randint(0, 256, (33, 41, 3)).astype(np.uint8),
+         {"quant": 2}),
+        (rng.randint(0, 256, (24, 24, 3)).astype(np.uint8),
+         {"quant": 2, "subsampling": "4:2:0"}),
+        (rng.randint(0, 256, (25, 31, 3)).astype(np.uint8),
+         {"quant": 4, "subsampling": "4:2:0"}),
+    ]
+    for img, kw in cases:
+        base = J.decode_jpeg(J.encode_jpeg(img, **kw))
+        prog = J.decode_jpeg(J.encode_jpeg_progressive(img, **kw))
+        assert np.array_equal(base, prog), kw
+    # restart markers inside progressive scans (flushes EOB runs)
+    img = cases[1][0]
+    base = J.decode_jpeg(J.encode_jpeg(img, quant=2))
+    prog = J.decode_jpeg(
+        J.encode_jpeg_progressive(img, quant=2, restart_interval=3))
+    assert np.array_equal(base, prog)
+    # sparse coefficients: long EOBn spans and refinement ZRL
+    x = np.linspace(0, 255, 72)
+    smooth = np.clip(np.add.outer(x[:64] * 2, x) / 3, 0, 255) \
+        .astype(np.uint8)
+    smooth3 = np.stack([smooth] * 3, -1)
+    q = np.full(64, 40)
+    q[0] = 8
+    base = J.decode_jpeg(J.encode_jpeg(smooth3, quant=q))
+    prog = J.decode_jpeg(J.encode_jpeg_progressive(smooth3, quant=q))
+    assert np.array_equal(base, prog)
+    # DC-only exactness survives the progressive path at quant=1
+    blocks = rng.randint(0, 256, (3, 4))
+    dc = np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.uint8)
+    assert np.array_equal(
+        J.decode_jpeg(J.encode_jpeg_progressive(dc)), dc)
+    # the dispatch seam recognizes SOF2 payloads
+    assert np.array_equal(
+        mm.decode_image(J.encode_jpeg_progressive(dc)), dc)
+
+
+def test_jpeg_progressive_custom_script_and_errors():
+    """Non-interleaved DC scans, two-step successive approximation,
+    and restart intervals in a custom script all reconstruct the
+    baseline image; truncated/invalid progressive streams raise
+    ValueError (the quarantine contract)."""
+    from search_engine_spark.ops import jpeg as J
+
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (19, 23, 3)).astype(np.uint8)
+    script = [
+        ([0], 0, 0, 0, 2), ([1], 0, 0, 0, 2), ([2], 0, 0, 0, 2),
+        ([0], 1, 63, 0, 1), ([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1),
+        ([0], 0, 0, 1, 1), ([0], 0, 0, 1, 0),
+        ([1], 0, 0, 1, 1), ([1], 0, 0, 1, 0),
+        ([2], 0, 0, 1, 1), ([2], 0, 0, 1, 0),
+        ([0], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0),
+    ]
+    base = J.decode_jpeg(J.encode_jpeg(img, quant=2))
+    for ri in (0, 2):
+        prog = J.decode_jpeg(J.encode_jpeg_progressive(
+            img, quant=2, scans=script, restart_interval=ri))
+        assert np.array_equal(base, prog), ri
+    enc = J.encode_jpeg_progressive(img, quant=2)
+    with pytest.raises(ValueError):
+        J.decode_jpeg(enc[: len(enc) * 2 // 3] + b"\xff\xd9")
+    # a multi-component AC scan is illegal in progressive mode
+    with pytest.raises(ValueError):
+        J.encode_jpeg_progressive(img, scans=[([0, 1, 2], 1, 63, 0, 0)])
+
+
+def test_jpeg_progressive_fuzz_parity():
+    """Seeded fuzz: random shapes/quants/subsampling/restart — the
+    progressive stream always decodes pixel-identical to the baseline
+    stream of the same image."""
+    from search_engine_spark.ops import jpeg as J
+
+    rng = np.random.RandomState(99)
+    for i in range(12):
+        h, w = int(rng.randint(1, 40)), int(rng.randint(1, 40))
+        c = int(rng.choice([0, 3]))
+        shape = (h, w) if c == 0 else (h, w, 3)
+        im = rng.randint(0, 256, shape).astype(np.uint8)
+        qv = int(rng.randint(1, 30))
+        sub = "4:2:0" if (c == 3 and rng.rand() < 0.5) else "4:4:4"
+        ri = int(rng.choice([0, 1, 5]))
+        b = J.decode_jpeg(J.encode_jpeg(im, quant=qv, subsampling=sub))
+        p = J.decode_jpeg(J.encode_jpeg_progressive(
+            im, quant=qv, subsampling=sub, restart_interval=ri))
+        assert np.array_equal(b, p), (i, shape, qv, sub, ri)
+
+
 def test_jpeg_out_of_scope_raises():
     from search_engine_spark.ops import jpeg as J
 
     img = np.zeros((8, 8), np.uint8)
     good = J.encode_jpeg(img)
-    # flip SOF0 (0xC0) to SOF2 (progressive) -> NotImplementedError
-    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError):
-        J.decode_jpeg(prog)
+    # SOF3 (lossless) / SOF9 (arithmetic) -> NotImplementedError
+    for sof in (b"\xff\xc3", b"\xff\xc9"):
+        with pytest.raises(NotImplementedError):
+            J.decode_jpeg(good.replace(b"\xff\xc0", sof, 1))
+    # flipping SOF0 to SOF2 makes the baseline scan header invalid as
+    # a progressive one (DC scan with Se=63) -> clean ValueError
+    with pytest.raises(ValueError):
+        J.decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
     # truncated entropy data -> ValueError (quarantinable)
     with pytest.raises(ValueError):
         J.decode_jpeg(good[:-8] + b"\xff\xd9")
@@ -649,6 +754,39 @@ def test_vp8l_predictor_all_modes():
     assert np.array_equal(got, noise)
 
 
+def test_vp8l_cross_color_roundtrips_bit_exact():
+    """CROSS_COLOR transform (RFC 9649 §4.2.1): the twin's per-tile
+    multipliers sweep the signed-byte range (37/59/73-step lattices
+    mod 256 hit negative int8 values), and the forward transform uses
+    the ORIGINAL red for the red_to_blue term while the decoder uses
+    the restored red — roundtripping bit-exact proves the two orders
+    agree, alone and composed with subtract-green / predictor /
+    color-cache."""
+    from search_engine_spark.ops import webp as W
+
+    rng = np.random.RandomState(43)
+    img = rng.randint(0, 256, (37, 29, 3)).astype(np.uint8)
+    for kw in (
+        {"cross_color_size_bits": 2},
+        {"cross_color_size_bits": 9},   # one tile covers the image
+        {"cross_color_size_bits": 3, "subtract_green": True},
+        {"cross_color_size_bits": 2, "subtract_green": True,
+         "predictor_size_bits": 3, "cache_bits": 5},
+    ):
+        got = W.decode_webp(W.encode_webp(img, **kw))
+        assert np.array_equal(got, img), kw
+    rgba = rng.randint(0, 256, (11, 13, 4)).astype(np.uint8)
+    got = W.decode_webp(W.encode_webp(rgba, cross_color_size_bits=2))
+    assert np.array_equal(got, rgba)
+    # the delta math itself against scalar int8 semantics
+    m = np.array([0x80, 0xFF, 0x7F, 0x01], np.uint32)  # -128,-1,127,1
+    c = np.array([0xFF, 0x80, 0x7F, 0x40], np.uint32)  # -1,-128,127,64
+    got = W._ct_delta(m, c)
+    want = [(-128 * -1) >> 5, (-1 * -128) >> 5, (127 * 127) >> 5,
+            (1 * 64) >> 5]
+    assert got.tolist() == want
+
+
 def test_vp8l_edge_shapes_and_containers():
     from search_engine_spark.ops import webp as W
     import struct
@@ -681,14 +819,15 @@ def test_vp8l_out_of_scope_and_corrupt():
         W.decode_webp(enc[: len(enc) // 2])
     with pytest.raises(ValueError):
         W.decode_webp(b"XIFF" + enc[4:])
-    # cross-color transform (type 1): hand-built header
+    # cross-color transform (type 1) header that truncates before its
+    # tile image: a clean ValueError, not a hang or a numpy error
     bw = W._BitWriter()
     bw.bits(6, 14); bw.bits(4, 14); bw.bits(0, 1); bw.bits(0, 3)
     bw.bits(1, 1); bw.bits(1, 2)
     payload = b"\x2f" + bw.done()
     cc = (b"RIFF" + struct.pack("<I", 12 + len(payload)) + b"WEBP"
           + b"VP8L" + struct.pack("<I", len(payload)) + payload)
-    with pytest.raises(NotImplementedError, match="cross-color"):
+    with pytest.raises(ValueError):
         W.decode_webp(cc)
     # >256 colors on palette encode
     y, x = np.mgrid[0:32, 0:32]
