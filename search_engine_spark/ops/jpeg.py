@@ -16,7 +16,8 @@ DCT* (SOF2, Annex G.1.2):
   G.1.2.3 AC refinement flow — EOBn end-of-band runs, ZRL skips,
   correction bits on already-nonzero history)
 - dequantize -> inverse zigzag -> 8x8 IDCT as two numpy matmuls
-  (vectorized einsum over all blocks on the progressive path)
+  (the same per-block expression on both paths, so baseline and
+  progressive reconstruction are bit-identical by construction)
 - subsampled component assembly + nearest upsampling, JFIF
   YCbCr -> RGB
 
@@ -336,6 +337,8 @@ def _decode_scan(buf, pos, frame, scan, qt, huff, ri):
                     for bx in range(c["h"]):
                         zz = np.zeros(64, np.int32)
                         s = br.decode(dc_t)
+                        if s > 15:
+                            raise ValueError(f"bad DC magnitude {s}")
                         diff = _extend(br.read_bits(s), s) if s else 0
                         pred[ci] += diff
                         zz[0] = pred[ci]
@@ -359,7 +362,11 @@ def _decode_scan(buf, pos, frame, scan, qt, huff, ri):
                         y0 = (m // mcux * c["v"] + by) * 8
                         x0 = (m % mcux * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = block
-        except (_RestartBoundary, _ScanEnd, IndexError) as e:
+        except (_RestartBoundary, _ScanEnd, IndexError,
+                OverflowError) as e:
+            # OverflowError: numpy >= 2 raises on an int32 store of an
+            # out-of-range accumulated predictor (crafted streams) —
+            # normalize to the quarantine contract
             raise ValueError(f"truncated JPEG entropy data at MCU {m}") \
                 from e
     return _finish_planes(planes, comps, h, w, hmax, vmax)
@@ -439,6 +446,8 @@ def _decode_dc_unit(br, dc_t, coef, pred, ci, ah, al):
     ORed into bit Al (G.1.2.1)."""
     if ah == 0:
         s = br.decode(dc_t)
+        if s > 15:
+            raise ValueError(f"bad DC magnitude {s}")
         diff = _extend(br.read_bits(s), s) if s else 0
         pred[ci] += diff
         coef[0] = pred[ci] << al
@@ -581,14 +590,21 @@ def _progressive_scan(buf, pos, frame, scan_comps, ss, se, ah, al,
                         raise ValueError(f"missing AC table {ta}")
                     eobrun = _decode_ac_refine(
                         br, ac_t, coef, ss, se, al, eobrun)
-    except (_RestartBoundary, _ScanEnd, IndexError) as e:
+    except (_RestartBoundary, _ScanEnd, IndexError,
+            OverflowError) as e:
+        # OverflowError: numpy >= 2 raises on an int32 store of an
+        # out-of-range accumulated predictor (crafted streams)
         raise ValueError("truncated progressive JPEG scan") from e
     return _next_marker(buf, br.pos)
 
 
 def _reconstruct_progressive(frame, qt, coefs):
-    """Dequantize + IDCT every accumulated block (vectorized einsum)
-    and assemble the final image."""
+    """Dequantize + IDCT every accumulated block and assemble the
+    final image.  The per-block ``_C.T @ coef @ _C`` is deliberately
+    the SAME expression (same BLAS call, same summation order) as the
+    baseline path's, so 'progressive decode == baseline decode of the
+    same coefficients' is a structural guarantee, not a
+    floats-landed-on-the-same-side-of-.5 accident."""
     comps = frame["comps"]
     hmax, vmax, _, _, _ = _frame_geometry(frame)
     planes = []
@@ -597,13 +613,14 @@ def _reconstruct_progressive(frame, qt, coefs):
             raise ValueError(f"missing quant table {c['tq']}")
         q = qt[c["tq"]].astype(np.float64)
         bh, bw = coefs[ci].shape[:2]
-        zz = coefs[ci].reshape(-1, 64).astype(np.float64) * q
-        nat = np.zeros_like(zz)
-        nat[:, ZIGZAG] = zz
-        spatial = np.einsum(
-            "ij,njk,kl->nil", _C.T, nat.reshape(-1, 8, 8), _C)
-        plane = spatial.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3) \
-            .reshape(bh * 8, bw * 8)
+        zz = coefs[ci].reshape(bh, bw, 64).astype(np.float64) * q
+        plane = np.zeros((bh * 8, bw * 8), np.float64)
+        coef = np.zeros(64, np.float64)
+        for y in range(bh):
+            for x in range(bw):
+                coef[ZIGZAG] = zz[y, x]
+                plane[y * 8:y * 8 + 8, x * 8:x * 8 + 8] = \
+                    _C.T @ coef.reshape(8, 8) @ _C
         planes.append(plane)
     return _finish_planes(planes, comps, frame["h"], frame["w"],
                           hmax, vmax)
@@ -984,7 +1001,6 @@ def _walk_prog_scan(coefs, frame, scan, ri, sink) -> None:
         if ss == 0:  # DC scan (interleaved or single-component)
             for ci in comp_list:
                 c = comps[ci]
-                nb = [(0, 0)]
                 if interleaved:
                     nb = [((u // mcux) * c["v"] + by,
                            (u % mcux) * c["h"] + bx)
@@ -1089,6 +1105,17 @@ def encode_jpeg_progressive(
         comp_list, ss, se, ah, al = scan
         if any(ci >= nc for ci in comp_list):
             raise ValueError("scan references missing component")
+        if not (0 <= ss <= se <= 63):
+            raise ValueError(f"bad spectral band Ss={ss} Se={se}")
+        if (ss == 0) != (se == 0):
+            raise ValueError("DC scan requires Ss=Se=0")
+        if not (0 <= al <= 13 and 0 <= ah <= 13) or \
+                (ah != 0 and ah != al + 1):
+            raise ValueError(f"bad successive approximation "
+                             f"Ah={ah} Al={al}")
+        if ss > 0 and len(comp_list) != 1:
+            raise ValueError(
+                "progressive AC scan must be single-component")
         stats = _StatSink()
         _walk_prog_scan(coefs, frame, scan, restart_interval, stats)
         tables = {}
@@ -1099,7 +1126,10 @@ def encode_jpeg_progressive(
         sos = bytes([len(comp_list)])
         for ci in comp_list:
             t = 0 if ci == 0 else 1
-            sos += bytes([ci + 1, (t << 4) | t])
+            # T.81 B.2.3: the unused nibble shall be 0 (Ta in DC
+            # scans, Td in AC scans) — strict external decoders check
+            td_ta = (t << 4) if ss == 0 else t
+            sos += bytes([ci + 1, td_ta])
         sos += bytes([ss, se, (ah << 4) | al])
         out += _seg(0xDA, sos)
         emit = _EmitSink(tables)

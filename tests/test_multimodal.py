@@ -432,9 +432,9 @@ def test_jpeg_progressive_custom_script_and_errors():
     script = [
         ([0], 0, 0, 0, 2), ([1], 0, 0, 0, 2), ([2], 0, 0, 0, 2),
         ([0], 1, 63, 0, 1), ([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1),
-        ([0], 0, 0, 1, 1), ([0], 0, 0, 1, 0),
-        ([1], 0, 0, 1, 1), ([1], 0, 0, 1, 0),
-        ([2], 0, 0, 1, 1), ([2], 0, 0, 1, 0),
+        ([0], 0, 0, 2, 1), ([0], 0, 0, 1, 0),
+        ([1], 0, 0, 2, 1), ([1], 0, 0, 1, 0),
+        ([2], 0, 0, 2, 1), ([2], 0, 0, 1, 0),
         ([0], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0),
     ]
     base = J.decode_jpeg(J.encode_jpeg(img, quant=2))
@@ -445,9 +445,42 @@ def test_jpeg_progressive_custom_script_and_errors():
     enc = J.encode_jpeg_progressive(img, quant=2)
     with pytest.raises(ValueError):
         J.decode_jpeg(enc[: len(enc) * 2 // 3] + b"\xff\xd9")
-    # a multi-component AC scan is illegal in progressive mode
-    with pytest.raises(ValueError):
-        J.encode_jpeg_progressive(img, scans=[([0, 1, 2], 1, 63, 0, 0)])
+    # invalid scripts are rejected at the API boundary, before any
+    # bytes are emitted
+    for bad in [
+        [([0, 1, 2], 1, 63, 0, 0)],  # multi-component AC scan
+        [([0], 0, 5, 0, 0)],         # DC scan with Se != 0
+        [([0], 1, 64, 0, 0)],        # Se out of range
+        [([0], 0, 0, 1, 1)],         # refinement must have Ah == Al+1
+        [([3], 0, 0, 0, 0)],         # missing component
+    ]:
+        with pytest.raises(ValueError):
+            J.encode_jpeg_progressive(img, scans=bad)
+
+
+def test_jpeg_crafted_dc_magnitude_quarantines():
+    """A crafted DHT whose DC symbol demands a >15-bit magnitude (an
+    unbounded predictor that would overflow the int32 coefficient
+    store) raises ValueError on both the baseline and progressive
+    paths — the quarantine contract, not OverflowError."""
+    from search_engine_spark.ops import jpeg as J
+
+    bits = [1] + [0] * 15  # one symbol, code '0' at length 1
+    for sof_marker, sos_tail in [
+        (0xC0, bytes([0, 63, 0])),   # baseline
+        (0xC2, bytes([0, 0, 0])),    # progressive DC-first scan
+    ]:
+        out = bytearray(b"\xff\xd8")
+        out += J._seg(0xDB, bytes([0]) + bytes([1] * 64))
+        sof = bytes([8]) + (8).to_bytes(2, "big") \
+            + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0])
+        out += J._seg(sof_marker, sof)
+        out += J._dht_seg(0, 0, bits, [20])  # DC magnitude 20: bogus
+        out += J._dht_seg(1, 0, bits, [0])
+        out += J._seg(0xDA, bytes([1, 1, 0x00]) + sos_tail)
+        out += bytes(4) + b"\xff\xd9"
+        with pytest.raises(ValueError):
+            J.decode_jpeg(bytes(out))
 
 
 def test_jpeg_progressive_fuzz_parity():
