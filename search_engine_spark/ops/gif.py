@@ -250,6 +250,8 @@ def _decode_gif_frames(buf: bytes) -> np.ndarray:
         raise ValueError("GIF header truncated")
     width, height, packed, bg_index, _aspect = struct.unpack(
         "<HHBBB", buf[6:13])
+    from .codec_limits import check_pixels
+    check_pixels(width, height, "GIF")
     pos = 13
     gct = None
     if packed & 0x80:

@@ -245,12 +245,17 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             ), int.from_bytes(seg[3:5], "big"), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}: only 8")
+            from .codec_limits import check_pixels
+            check_pixels(w, h, "JPEG")
+            if not 1 <= nc <= 4:
+                raise ValueError(f"bad JPEG component count {nc}")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
-                )
+                ch, cv = hv >> 4, hv & 15
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError(f"bad sampling factors {ch}x{cv}")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps,
                      "progressive": marker == 0xC2}
             if marker == 0xC2:
@@ -330,9 +335,13 @@ def _decode_scan(buf, pos, frame, scan, qt, huff, ri):
             pred = [0] * len(comps)
         try:
             for ci, c in enumerate(comps):
-                dc_t = huff[(0, scan[c["id"]][0])]
-                ac_t = huff[(1, scan[c["id"]][1])]
-                q = qt[c["tq"]]
+                if c["id"] not in scan:
+                    raise ValueError(f"scan omits component {c['id']}")
+                dc_t = huff.get((0, scan[c["id"]][0]))
+                ac_t = huff.get((1, scan[c["id"]][1]))
+                q = qt.get(c["tq"])
+                if dc_t is None or ac_t is None or q is None:
+                    raise ValueError("missing Huffman/quant table")
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         zz = np.zeros(64, np.int32)

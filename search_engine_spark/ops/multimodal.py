@@ -143,6 +143,8 @@ def _decode_pnm(buf: bytes) -> np.ndarray:
     w, h, maxval = vals
     if maxval > 255:
         raise NotImplementedError("16-bit PNM samples not supported")
+    from search_engine_spark.ops.codec_limits import check_pixels
+    check_pixels(w, h, "PNM")
     ch = 3 if buf[:2] == b"P6" else 1
     arr = np.frombuffer(buf, dtype=np.uint8, count=w * h * ch, offset=pos)
     return arr.reshape(h, w, 3) if ch == 3 else arr.reshape(h, w)
@@ -161,6 +163,8 @@ def _decode_bmp(buf: bytes) -> np.ndarray:
             f"BMP compression={comp} bpp={bpp}: only BI_RGB 24/32-bit"
         )
     bottom_up, h = h > 0, abs(h)
+    from search_engine_spark.ops.codec_limits import check_pixels
+    check_pixels(w, h, "BMP")
     nb = bpp // 8
     stride = (w * nb + 3) & ~3
     rows = np.frombuffer(
@@ -221,9 +225,15 @@ def _decode_png(buf: bytes) -> np.ndarray:
         raise ValueError(f"PNG color type {ctype}")
     if ctype == 3 and plte is None:
         raise ValueError("palette PNG without PLTE")
-    raw = zlib.decompress(b"".join(idat))
+    from search_engine_spark.ops.codec_limits import check_pixels
+    check_pixels(w, h, "PNG")
     stride = w * ch
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    # cap inflation at the scanline size the header promises — a
+    # crafted IDAT must not get to allocate a decompression bomb
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), expected + 1)
+    if len(raw) != expected:
         raise ValueError("PNG scanline size mismatch")
     rm = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     ftypes = rm[:, 0]

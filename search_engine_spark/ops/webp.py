@@ -521,6 +521,8 @@ def decode_webp(payload: bytes) -> np.ndarray:
     br = _BitReader(vp8l[1:])
     w = br.bits(14) + 1
     h = br.bits(14) + 1
+    from .codec_limits import check_pixels
+    check_pixels(w, h, "VP8L")
     alpha_hint = br.bits(1)
     if br.bits(3) != 0:
         raise ValueError("unsupported VP8L version")
