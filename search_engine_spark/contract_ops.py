@@ -531,6 +531,86 @@ def q_media_features(spark, sf_dir) -> DataFrame:
     )
 
 
+CODEC_CYCLE = ("ppm", "png", "jpeg", "gif", "webp", "corrupt")
+
+
+def q_codec_roundtrip(spark, sf_dir) -> DataFrame:
+    """Round-5 contract face for the REAL image-decode operator
+    (ops/multimodal.decode_features, the Arrow mapInPandas stage with
+    row-wise quarantine): per docid < 400, synthesize a 16x16 constant
+    RGB image (value = docid % 256), encode it with the codec the
+    docid selects (docid % 6 cycles PPM / PNG / JPEG-baseline / GIF /
+    VP8L-WebP / a deliberately corrupt payload), then decode through
+    the real operator.  Constant images make every codec's roundtrip
+    EXACT — including lossy JPEG, whose DC-only blocks are bit-exact
+    at quant=1 — so the DuckDB oracle states geometry and Rec.601
+    luma in closed form (luma == v*0.299 + v*0.587 + v*0.114, the
+    same IEEE expression both engines evaluate), and the corrupt
+    class pins the ok=false quarantine row shape through the driver's
+    hash gate."""
+    import numpy as np
+    import pandas as pd
+
+    from search_engine_spark.ops import gif as G
+    from search_engine_spark.ops import jpeg as J
+    from search_engine_spark.ops import webp as W
+    from search_engine_spark.ops.multimodal import (
+        decode_features,
+        encode_png,
+        encode_ppm,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("media_id"))
+        .filter(F.col("media_id") < 400)
+    )
+
+    def enc(it):
+        for pdf in it:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                codec = CODEC_CYCLE[mid % 6]
+                v = mid % 256
+                rgb = np.full((16, 16, 3), v, np.uint8)
+                if codec == "ppm":
+                    payload = encode_ppm(rgb)
+                elif codec == "png":
+                    payload = encode_png(rgb)
+                elif codec == "jpeg":
+                    payload = J.encode_jpeg(rgb, quant=1)
+                elif codec == "gif":
+                    payload = G.encode_gif(rgb)
+                elif codec == "webp":
+                    payload = W.encode_webp(rgb)
+                else:  # a JPEG signature over garbage: must quarantine
+                    payload = b"\xff\xd8\xff" + bytes(range(32))
+                rows.append((mid, "image/" + codec, payload))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "media"])
+
+    media = docs.mapInPandas(
+        enc, schema="media_id long, media_type string, media binary")
+    dec = decode_features(media)
+    codec_expr = F.element_at(
+        F.array(*[F.lit(c) for c in CODEC_CYCLE]),
+        (F.col("media_id") % 6 + 1).cast("int"),
+    )
+    return (
+        dec.select(
+            "media_id",
+            codec_expr.alias("codec"),
+            "ok",
+            "width",
+            "height",
+            "channels",
+            "mean_luma",
+        )
+        .orderBy("media_id")
+    )
+
+
 def q_sessionize_stream(spark, sf_dir) -> DataFrame:
     """§2.8 stateful-streaming parity, contract-visible: the events
     table is replayed through the REAL ``applyInPandasWithState``

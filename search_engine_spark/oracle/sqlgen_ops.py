@@ -661,6 +661,35 @@ def media_features_sql() -> str:
     )
 
 
+def codec_roundtrip_sql() -> str:
+    """Twin of contract_ops.q_codec_roundtrip: constant 16x16 images
+    roundtrip EXACTLY through every codec (JPEG's DC-only blocks are
+    bit-exact at quant=1), so geometry and Rec.601 luma are stated in
+    closed form; the corrupt class (doc_id % 6 = 5) yields the
+    quarantined ok=false row with NULL geometry.  The luma expression
+    ``v*0.299 + v*0.587 + v*0.114`` is the SAME left-associated IEEE
+    double chain numpy evaluates per pixel (all pixels identical, and
+    a 256-element mean of identical doubles is exact) — the CASTs
+    matter: bare 0.299 is DECIMAL in DuckDB, which computes v*1.000
+    exactly while the double chain lands one ulp below for 65 of the
+    256 values."""
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS media_id, "
+        "CASE doc_id % 6 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png' "
+        "WHEN 2 THEN 'jpeg' WHEN 3 THEN 'gif' WHEN 4 THEN 'webp' "
+        "ELSE 'corrupt' END AS codec, "
+        "doc_id % 6 <> 5 AS ok, "
+        "CASE WHEN doc_id % 6 <> 5 THEN 16 END AS width, "
+        "CASE WHEN doc_id % 6 <> 5 THEN 16 END AS height, "
+        "CASE WHEN doc_id % 6 <> 5 THEN 3 END AS channels, "
+        "CASE WHEN doc_id % 6 <> 5 THEN "
+        "(doc_id % 256) * CAST(0.299 AS DOUBLE) "
+        "+ (doc_id % 256) * CAST(0.587 AS DOUBLE) "
+        "+ (doc_id % 256) * CAST(0.114 AS DOUBLE) END AS mean_luma "
+        "FROM documents WHERE doc_id < 400 ORDER BY media_id"
+    )
+
+
 def sessionize_stream_sql() -> str:
     """Twin of contract_ops.q_sessionize_stream: the batch lag+cumsum
     gap split (identical to sessionize_sql's CTEs) emitted per session
