@@ -230,20 +230,23 @@ def _collect_sub_blocks(buf: bytes, pos: int):
         pos += n
 
 
-def decode_gif_frames(buf: bytes) -> np.ndarray:
-    """Decode every frame of a GIF, composited onto the logical
-    screen per the GIF89a disposal rules.  Returns (F, H, W, 3) uint8
-    RGB.  The canvas starts as the background color (global color
-    table at the background index; black without a global table);
-    transparent pixels leave the underlying canvas untouched.
-    Corrupt/truncated payloads raise ValueError (quarantinable)."""
+def decode_gif_frames(buf: bytes, max_frames: int | None = None) \
+        -> np.ndarray:
+    """Decode every frame of a GIF (or the first ``max_frames``),
+    composited onto the logical screen per the GIF89a disposal rules.
+    Returns (F, H, W, 3) uint8 RGB.  The canvas starts as the
+    background color (global color table at the background index;
+    black without a global table); transparent pixels leave the
+    underlying canvas untouched.  Corrupt/truncated payloads raise
+    ValueError (quarantinable)."""
     try:
-        return _decode_gif_frames(buf)
+        return _decode_gif_frames(buf, max_frames)
     except (struct.error, IndexError) as e:
         raise ValueError(f"corrupt GIF structure: {e}") from e
 
 
-def _decode_gif_frames(buf: bytes) -> np.ndarray:
+def _decode_gif_frames(buf: bytes, max_frames: int | None = None) \
+        -> np.ndarray:
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     if len(buf) < 13:
@@ -313,6 +316,16 @@ def _decode_gif_frames(buf: bytes) -> np.ndarray:
         if int(idx.max(initial=0)) >= len(palette):
             raise ValueError("pixel index outside palette")
 
+        # every composited frame is a full canvas copy, so the frame
+        # COUNT is part of the decode-bomb surface too: a ~2 KB GIF
+        # with hundreds of 1-px frames on a large canvas must not get
+        # to materialize frames x canvas worth of output
+        from .codec_limits import MAX_PIXELS
+        if (len(frames) + 1) * width * height > MAX_PIXELS:
+            raise ValueError(
+                "GIF: total animation pixels exceed the decoder "
+                "pixel budget"
+            )
         saved = canvas.copy() if disposal == 3 else None
         region = canvas[top:top + h, left:left + w]
         if transparent is None:
@@ -321,6 +334,8 @@ def _decode_gif_frames(buf: bytes) -> np.ndarray:
             opaque = idx != transparent
             region[opaque] = palette[idx[opaque]]
         frames.append(canvas.copy())
+        if max_frames is not None and len(frames) >= max_frames:
+            return np.stack(frames)
         if disposal == 2:
             canvas[top:top + h, left:left + w] = background
         elif disposal == 3:
@@ -334,8 +349,10 @@ def _decode_gif_frames(buf: bytes) -> np.ndarray:
 
 def decode_gif(buf: bytes) -> np.ndarray:
     """First composited frame of a GIF as (H, W, 3) uint8 RGB — the
-    still-image view ``decode_image`` dispatches to."""
-    return decode_gif_frames(buf)[0]
+    still-image view ``decode_image`` dispatches to.  Stops decoding
+    after frame 1 (an animation's later frames cost LZW work and
+    canvas copies the still view never reads)."""
+    return decode_gif_frames(buf, max_frames=1)[0]
 
 
 # ---------------------------------------------------------------------------

@@ -91,6 +91,26 @@ def test_decode_bomb_headers_raise_before_allocating():
         mm.decode_image(png)
 
 
+def test_gif_frame_count_bomb_is_capped():
+    """A small GIF whose frame COUNT times its canvas exceeds the
+    budget must fail before materializing frames x canvas of output
+    (every composited frame is a full canvas copy)."""
+    from search_engine_spark.ops import gif as G
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    n = 8
+    enc = G.encode_gif(frames=[(img, 0, 0, 0, None)] * n)
+    assert G.decode_gif_frames(enc).shape[0] == n  # legit at default
+    old = codec_limits.MAX_PIXELS
+    try:
+        codec_limits.MAX_PIXELS = 64 * 64 * 3  # budget: 3 frames
+        with pytest.raises(ValueError, match="pixel budget"):
+            G.decode_gif_frames(enc)
+        assert G.decode_gif(enc) is not None  # first frame still fine
+    finally:
+        codec_limits.MAX_PIXELS = old
+
+
 def test_png_zlib_inflation_bomb_is_capped():
     """An honest 4x4 IHDR whose IDAT inflates to 10 MB must fail with
     the scanline-mismatch ValueError without materializing the

@@ -668,8 +668,13 @@ def test_gif_out_of_scope_and_corrupt():
     enc = G.encode_gif(img)
     with pytest.raises(ValueError):
         G.decode_gif(enc[: len(enc) // 2])   # truncated sub-blocks
+    # the full-animation decode still demands the trailer; the
+    # still-image view stops after a complete first frame and is
+    # deliberately indifferent to tail truncation (lazy first-frame
+    # semantics, like real decoders)
     with pytest.raises(ValueError):
-        G.decode_gif(enc[:-1])               # missing trailer
+        G.decode_gif_frames(enc[:-1])        # missing trailer
+    assert G.decode_gif(enc[:-1]).shape[:2] == img.shape[:2]
     with pytest.raises(ValueError):
         G.decode_gif(b"NOTGIF" + enc[6:])    # bad magic
 
