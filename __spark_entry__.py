@@ -159,21 +159,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "simhash_similarity": CO.q_simhash_similarity,
             "media_features": CO.q_media_features,
             "codec_roundtrip": CO.q_codec_roundtrip,
+            "chunk_documents": CO.q_chunk_documents,
         }
     )
     # Gate ordering (round 5): the driver records only the FIRST 50
-    # entries, so the five redundant twins go last — bm25_q2/q3/q4
+    # entries, so six redundant/subsumed twins go last — bm25_q2/q3/q4
     # re-cover the naive path that bm25_q1 + the wand/and/fields/full
     # families already gate, ann_sign_lsh's indexed twin
-    # (ann_lsh_indexed) shares its oracle byte-for-byte, and
-    # bm25_and_q2 re-covers the conjunctive path bm25_and_q1 gates.
-    # This puts sessionize_stream / training_pipeline /
-    # simhash_similarity / media_features (never driver-gated in
-    # rounds 1-4) and codec_roundtrip (the round-5 real-decode gate:
-    # five codecs + quarantine through decode_features) inside the
-    # window; the tail five stay green in scripts/contract_sweep.py.
+    # (ann_lsh_indexed) shares its oracle byte-for-byte, bm25_and_q2
+    # re-covers the conjunctive path bm25_and_q1 gates, and
+    # simhash_fp's machinery is consumed (and therefore gated) by
+    # simhash_neardup + simhash_similarity.  This puts
+    # sessionize_stream / training_pipeline / simhash_similarity /
+    # media_features (never driver-gated in rounds 1-4),
+    # codec_roundtrip (the round-5 real-decode gate: five codecs +
+    # quarantine through decode_features) and chunk_documents (the
+    # round-5 token-window chunking op) inside the window; the tail
+    # six stay green in scripts/contract_sweep.py.
     for tail in ("bm25_q2", "bm25_q3", "bm25_q4", "ann_sign_lsh",
-                 "bm25_and_q2"):
+                 "bm25_and_q2", "simhash_fp"):
         q[tail] = q.pop(tail)
     return q
 
@@ -239,6 +243,7 @@ def oracle_sql() -> dict[str, str]:
             "simhash_similarity": OO.simhash_similarity_sql(),
             "media_features": OO.media_features_sql(),
             "codec_roundtrip": OO.codec_roundtrip_sql(),
+            "chunk_documents": OO.chunk_documents_sql(),
         }
     )
     return o

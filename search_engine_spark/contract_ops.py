@@ -531,6 +531,25 @@ def q_media_features(spark, sf_dir) -> DataFrame:
     )
 
 
+CHUNK_MAX_TOKENS = 32
+CHUNK_OVERLAP = 8
+
+
+def q_chunk_documents(spark, sf_dir) -> DataFrame:
+    """Token-window chunking (ops/chunking.py) over the documents
+    table: windows of 32 tokens with overlap 8 (stride 24) on the
+    frozen tokenizer's output, one row per chunk with the windowed
+    token text.  Pure JVM fan-out (sequence/posexplode/slice), no
+    shuffle — the DuckDB twin recomputes the identical windows with
+    unnest(range(...)) + list_slice over the same tokenizer SQL."""
+    from search_engine_spark.ops.chunking import chunk_tokens
+
+    toks = documents_tokenized(spark, sf_dir).select("docid", "toks")
+    return chunk_tokens(
+        toks, max_tokens=CHUNK_MAX_TOKENS, overlap=CHUNK_OVERLAP
+    ).orderBy("docid", "chunk_id")
+
+
 CODEC_CYCLE = ("ppm", "png", "jpeg", "gif", "webp", "corrupt")
 
 

@@ -661,6 +661,33 @@ def media_features_sql() -> str:
     )
 
 
+def chunk_documents_sql() -> str:
+    """Twin of contract_ops.q_chunk_documents: identical token
+    windows (starts 0, stride, ... < n; stride = max - overlap) over
+    the same tokenizer semantics, via unnest(range()) + list_slice
+    (1-based, end-clamped — same convention as Spark's slice)."""
+    from search_engine_spark.contract_ops import (
+        CHUNK_MAX_TOKENS,
+        CHUNK_OVERLAP,
+    )
+    from search_engine_spark.tokenizer import duckdb_tokens_sql
+
+    stride = CHUNK_MAX_TOKENS - CHUNK_OVERLAP
+    return (
+        "WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS docid, "
+        f"{duckdb_tokens_sql('text')} AS toks FROM documents), "
+        "starts AS (SELECT docid, toks, "
+        f"unnest(range(0, len(toks), {stride})) AS start FROM toks) "
+        "SELECT docid, "
+        f"CAST(start // {stride} AS INT) AS chunk_id, "
+        "CAST(len(list_slice(toks, start + 1, "
+        f"start + {CHUNK_MAX_TOKENS})) AS INT) AS n_tokens, "
+        "array_to_string(list_slice(toks, start + 1, "
+        f"start + {CHUNK_MAX_TOKENS}), ' ') AS chunk "
+        "FROM starts ORDER BY docid, chunk_id"
+    )
+
+
 def codec_roundtrip_sql() -> str:
     """Twin of contract_ops.q_codec_roundtrip: constant 16x16 images
     roundtrip EXACTLY through every codec (JPEG's DC-only blocks are
