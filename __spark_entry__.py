@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_features": CO.q_media_features,
             "codec_roundtrip": CO.q_codec_roundtrip,
             "chunk_documents": CO.q_chunk_documents,
+            "pack_examples": CO.q_pack_examples,
         }
     )
     # Gate ordering (round 5): the driver records only the FIRST 50
@@ -168,16 +169,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # families already gate, ann_sign_lsh's indexed twin
     # (ann_lsh_indexed) shares its oracle byte-for-byte, bm25_and_q2
     # re-covers the conjunctive path bm25_and_q1 gates, and
-    # simhash_fp's machinery is consumed (and therefore gated) by
-    # simhash_neardup + simhash_similarity.  This puts
-    # sessionize_stream / training_pipeline / simhash_similarity /
-    # media_features (never driver-gated in rounds 1-4),
+    # simhash_fp's and minhash_sig's machinery is consumed (and
+    # therefore gated) by their downstream neardup entries.  This
+    # puts sessionize_stream / training_pipeline / simhash_similarity
+    # / media_features (never driver-gated in rounds 1-4),
     # codec_roundtrip (the round-5 real-decode gate: five codecs +
-    # quarantine through decode_features) and chunk_documents (the
-    # round-5 token-window chunking op) inside the window; the tail
-    # six stay green in scripts/contract_sweep.py.
+    # quarantine through decode_features), chunk_documents and
+    # pack_examples (the round-5 training-pipeline ops) inside the
+    # window; the tail seven stay green in
+    # scripts/contract_sweep.py.
     for tail in ("bm25_q2", "bm25_q3", "bm25_q4", "ann_sign_lsh",
-                 "bm25_and_q2", "simhash_fp"):
+                 "bm25_and_q2", "simhash_fp", "minhash_sig"):
         q[tail] = q.pop(tail)
     return q
 
@@ -244,6 +246,7 @@ def oracle_sql() -> dict[str, str]:
             "media_features": OO.media_features_sql(),
             "codec_roundtrip": OO.codec_roundtrip_sql(),
             "chunk_documents": OO.chunk_documents_sql(),
+            "pack_examples": OO.pack_examples_sql(),
         }
     )
     return o

@@ -550,6 +550,23 @@ def q_chunk_documents(spark, sf_dir) -> DataFrame:
     ).orderBy("docid", "chunk_id")
 
 
+PACK_CONTEXT_LEN = 128
+
+
+def q_pack_examples(spark, sf_dir) -> DataFrame:
+    """GPT-style sequence packing (ops/packing.py) over the documents
+    table: the corpus token stream in docid order split into
+    128-token training examples (documents cross boundaries; the last
+    example may be short).  The global prefix sum runs as the
+    two-phase deterministic-bucket form — the DuckDB twin recomputes
+    the identical stream with a window cumsum + unnest(range()) +
+    list_slice."""
+    from search_engine_spark.ops.packing import pack_examples
+
+    toks = documents_tokenized(spark, sf_dir).select("docid", "toks")
+    return pack_examples(toks, context_len=PACK_CONTEXT_LEN)
+
+
 CODEC_CYCLE = ("ppm", "png", "jpeg", "gif", "webp", "corrupt")
 
 

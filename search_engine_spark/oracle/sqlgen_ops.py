@@ -688,6 +688,40 @@ def chunk_documents_sql() -> str:
     )
 
 
+def pack_examples_sql() -> str:
+    """Twin of contract_ops.q_pack_examples: the same global token
+    stream (window cumsum over docid order — fine at oracle scale;
+    the Spark side uses the distributed two-phase form) split at the
+    same context length, pieces re-assembled in gstart order."""
+    from search_engine_spark.contract_ops import PACK_CONTEXT_LEN
+    from search_engine_spark.tokenizer import duckdb_tokens_sql
+
+    n = PACK_CONTEXT_LEN
+    return (
+        "WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS docid, "
+        f"{duckdb_tokens_sql('text')} AS toks FROM documents), "
+        "nz AS (SELECT docid, toks, CAST(len(toks) AS BIGINT) AS n "
+        "FROM toks WHERE len(toks) > 0), "
+        "ord AS (SELECT *, CAST(SUM(n) OVER (ORDER BY docid "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n "
+        "AS BIGINT) AS gstart FROM nz), "
+        "spans AS (SELECT *, "
+        f"unnest(range(gstart // {n}, (gstart + n - 1) // {n} + 1)) "
+        "AS example_id FROM ord), "
+        "pieces AS (SELECT example_id, docid, gstart, "
+        f"list_slice(toks, greatest(example_id * {n}, gstart) "
+        "- gstart + 1, "
+        f"least((example_id + 1) * {n}, gstart + n) - gstart) "
+        "AS piece FROM spans) "
+        "SELECT example_id, "
+        "CAST(SUM(len(piece)) AS INT) AS n_tokens, "
+        "CAST(COUNT(DISTINCT docid) AS INT) AS n_docs, "
+        "string_agg(array_to_string(piece, ' '), ' ' "
+        "ORDER BY gstart) AS text "
+        "FROM pieces GROUP BY example_id ORDER BY example_id"
+    )
+
+
 def codec_roundtrip_sql() -> str:
     """Twin of contract_ops.q_codec_roundtrip: constant 16x16 images
     roundtrip EXACTLY through every codec (JPEG's DC-only blocks are
