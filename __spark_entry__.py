@@ -161,6 +161,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "codec_roundtrip": CO.q_codec_roundtrip,
             "chunk_documents": CO.q_chunk_documents,
             "pack_examples": CO.q_pack_examples,
+            # scrub_pii lands at position 51, outside the driver's
+            # 50-row window by design — no remaining gated entry is
+            # redundant enough to demote; it is verified by the
+            # all-scale sweep like the parked tail
+            "scrub_pii": CO.q_scrub_pii,
         }
     )
     # Gate ordering (round 5): the driver records only the FIRST 50
@@ -247,6 +252,7 @@ def oracle_sql() -> dict[str, str]:
             "codec_roundtrip": OO.codec_roundtrip_sql(),
             "chunk_documents": OO.chunk_documents_sql(),
             "pack_examples": OO.pack_examples_sql(),
+            "scrub_pii": OO.scrub_pii_sql(),
         }
     )
     return o

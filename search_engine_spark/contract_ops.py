@@ -567,6 +567,36 @@ def q_pack_examples(spark, sf_dir) -> DataFrame:
     return pack_examples(toks, context_len=PACK_CONTEXT_LEN)
 
 
+def q_scrub_pii(spark, sf_dir) -> DataFrame:
+    """PII masking (ops/scrub.py) over the documents table, with
+    deterministic synthesized PII appended per docid (an email, a
+    dotted-quad IP and an E.164-ish phone derived from the docid) so
+    the masks demonstrably fire on every row — the corpus text alone
+    carries none.  The DuckDB twin runs the SAME dialect-neutral
+    patterns through RE2; counts and the masked text compare
+    hash-exact."""
+    from search_engine_spark.ops.scrub import scrub_pii
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("docid"), F.col("text")
+    )
+    inp = d.select(
+        "docid",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("docid").cast("string"),
+            F.lit("@corp.example.com via 10."),
+            (F.col("docid") % 256).cast("string"),
+            F.lit(".0."),
+            (F.col("docid") % 100).cast("string"),
+            F.lit(" tel +1555"),
+            F.lpad((F.col("docid") % 10000).cast("string"), 7, "0"),
+        ).alias("content"),
+    )
+    return scrub_pii(inp).orderBy("docid")
+
+
 CODEC_CYCLE = ("ppm", "png", "jpeg", "gif", "webp", "corrupt")
 
 

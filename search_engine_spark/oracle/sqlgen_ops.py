@@ -722,6 +722,43 @@ def pack_examples_sql() -> str:
     )
 
 
+def scrub_pii_sql() -> str:
+    """Twin of contract_ops.q_scrub_pii: the same dialect-neutral
+    patterns (plain character classes, counted repetition, no
+    lookaround — identical under Java regex and RE2) over the same
+    synthesized PII suffix."""
+    from search_engine_spark.ops.scrub import (
+        EMAIL_MASK,
+        EMAIL_RE,
+        IP_MASK,
+        IPV4_RE,
+        PHONE_MASK,
+        PHONE_RE,
+    )
+
+    return (
+        "WITH inp AS (SELECT CAST(doc_id AS BIGINT) AS docid, "
+        "text || ' reach user' || CAST(doc_id AS VARCHAR) || "
+        "'@corp.example.com via 10.' || "
+        "CAST(doc_id % 256 AS VARCHAR) || '.0.' || "
+        "CAST(doc_id % 100 AS VARCHAR) || ' tel +1555' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0') AS content "
+        "FROM documents) "
+        "SELECT docid, "
+        f"CAST(len(regexp_extract_all(content, '{EMAIL_RE}', 0)) "
+        "AS INT) AS n_emails, "
+        f"CAST(len(regexp_extract_all(content, '{IPV4_RE}', 0)) "
+        "AS INT) AS n_ips, "
+        f"CAST(len(regexp_extract_all(content, '{PHONE_RE}', 0)) "
+        "AS INT) AS n_phones, "
+        "regexp_replace(regexp_replace(regexp_replace(content, "
+        f"'{EMAIL_RE}', '{EMAIL_MASK}', 'g'), "
+        f"'{IPV4_RE}', '{IP_MASK}', 'g'), "
+        f"'{PHONE_RE}', '{PHONE_MASK}', 'g') AS scrubbed "
+        "FROM inp ORDER BY docid"
+    )
+
+
 def codec_roundtrip_sql() -> str:
     """Twin of contract_ops.q_codec_roundtrip: constant 16x16 images
     roundtrip EXACTLY through every codec (JPEG's DC-only blocks are
