@@ -161,30 +161,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "codec_roundtrip": CO.q_codec_roundtrip,
             "chunk_documents": CO.q_chunk_documents,
             "pack_examples": CO.q_pack_examples,
-            # scrub_pii lands at position 51, outside the driver's
-            # 50-row window by design — no remaining gated entry is
-            # redundant enough to demote; it is verified by the
-            # all-scale sweep like the parked tail
+            # dup_spans is entry #50 — the last slot inside the
+            # driver's window, freed by demoting ann_ivf (whose
+            # oracle ann_ivf_indexed shares byte-for-byte)
+            "dup_spans": CO.q_dup_spans,
+            # positions 51+ sit outside the driver's 50-row window by
+            # design — nothing gated is redundant enough to demote;
+            # they are verified by the all-scale sweep like the
+            # parked tail
             "scrub_pii": CO.q_scrub_pii,
+            "decontaminate": CO.q_decontaminate,
+            "gopher_quality": CO.q_gopher_quality,
+            "sample_stratified": CO.q_sample_stratified,
+            "dup_span_ranges": CO.q_dup_span_ranges,
         }
     )
     # Gate ordering (round 5): the driver records only the FIRST 50
-    # entries, so six redundant/subsumed twins go last — bm25_q2/q3/q4
+    # entries, so redundant/subsumed twins go last — bm25_q2/q3/q4
     # re-cover the naive path that bm25_q1 + the wand/and/fields/full
-    # families already gate, ann_sign_lsh's indexed twin
-    # (ann_lsh_indexed) shares its oracle byte-for-byte, bm25_and_q2
-    # re-covers the conjunctive path bm25_and_q1 gates, and
-    # simhash_fp's and minhash_sig's machinery is consumed (and
-    # therefore gated) by their downstream neardup entries.  This
-    # puts sessionize_stream / training_pipeline / simhash_similarity
-    # / media_features (never driver-gated in rounds 1-4),
-    # codec_roundtrip (the round-5 real-decode gate: five codecs +
-    # quarantine through decode_features), chunk_documents and
-    # pack_examples (the round-5 training-pipeline ops) inside the
-    # window; the tail seven stay green in
+    # families already gate, ann_sign_lsh's and ann_ivf's indexed
+    # twins (ann_lsh_indexed / ann_ivf_indexed) share their oracles
+    # byte-for-byte, bm25_and_q2 re-covers the conjunctive path
+    # bm25_and_q1 gates, and simhash_fp's and minhash_sig's machinery
+    # is consumed (and therefore gated) by their downstream neardup
+    # entries.  This puts sessionize_stream / training_pipeline /
+    # simhash_similarity / media_features (never driver-gated in
+    # rounds 1-4), codec_roundtrip (the round-5 real-decode gate:
+    # five codecs + quarantine through decode_features),
+    # chunk_documents / pack_examples / dup_spans (the round-5
+    # training-pipeline ops) inside the window; the tail eight plus
+    # the four 51+ curation entries stay green in
     # scripts/contract_sweep.py.
     for tail in ("bm25_q2", "bm25_q3", "bm25_q4", "ann_sign_lsh",
-                 "bm25_and_q2", "simhash_fp", "minhash_sig"):
+                 "ann_ivf", "bm25_and_q2", "simhash_fp", "minhash_sig"):
         q[tail] = q.pop(tail)
     return q
 
@@ -252,7 +261,12 @@ def oracle_sql() -> dict[str, str]:
             "codec_roundtrip": OO.codec_roundtrip_sql(),
             "chunk_documents": OO.chunk_documents_sql(),
             "pack_examples": OO.pack_examples_sql(),
+            "dup_spans": OO.dup_spans_sql(),
             "scrub_pii": OO.scrub_pii_sql(),
+            "decontaminate": OO.decontaminate_sql(),
+            "gopher_quality": OO.gopher_quality_sql(),
+            "sample_stratified": OO.sample_stratified_sql(),
+            "dup_span_ranges": OO.dup_span_ranges_sql(),
         }
     )
     return o

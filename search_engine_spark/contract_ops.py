@@ -742,3 +742,69 @@ def q_sessionize_stream(spark, sf_dir) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# --- Corpus curation (ops/curation.py) --------------------------------------
+
+def q_dup_spans(spark, sf_dir) -> DataFrame:
+    """Duplicated n-gram span detection over the documents table:
+    per doc, how many trigram positions repeat anywhere in the corpus
+    (the substring-level dedup signal).  The synthetic vocabulary is
+    ~30 words, so trigram collisions fire naturally at every sf
+    (6,677 duplicated trigrams at sf0.01).  The DuckDB twin groups on
+    the identical md5-60bit gram hash."""
+    from search_engine_spark.ops.curation import dup_spans
+
+    toks = documents_tokenized(spark, sf_dir).select("docid", "toks")
+    return dup_spans(toks).orderBy("docid")
+
+
+def q_decontaminate(spark, sf_dir) -> DataFrame:
+    """Benchmark decontamination: documents with docid % 97 == 0 play
+    the held-out eval set; every other document is checked for
+    trigram overlap against it via a broadcast semi-join (the 100 TB
+    shape — eval suites are tiny)."""
+    from search_engine_spark.ops.curation import decontaminate
+    from search_engine_spark.ops.params import DECON_EVAL_MOD
+
+    toks = documents_tokenized(spark, sf_dir).select("docid", "toks")
+    ev = toks.filter(F.col("docid") % DECON_EVAL_MOD == 0)
+    corpus = toks.filter(F.col("docid") % DECON_EVAL_MOD != 0)
+    return decontaminate(corpus, ev).orderBy("docid")
+
+
+def q_gopher_quality(spark, sf_dir) -> DataFrame:
+    """Gopher-style repetition/quality stats over raw whitespace
+    words (mean word length, top-bigram occupancy, keep verdict) —
+    both fractions are single int64->double divisions so the oracle
+    compares bit-exactly."""
+    from search_engine_spark.ops.curation import gopher_quality
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("docid"), "text"
+    )
+    return gopher_quality(d).orderBy("docid")
+
+
+def q_sample_stratified(spark, sf_dir) -> DataFrame:
+    """Deterministic per-language stratified sampling: keep iff
+    md5-60bit(str(docid)) % 1000 < rate(lang); downsamples the
+    dominant language (en: 250/1000) and keeps the rarest whole
+    (zh: 1000/1000)."""
+    from search_engine_spark.ops.curation import sample_stratified
+    from search_engine_spark.ops.params import SAMPLE_RATES
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("docid"), "lang"
+    )
+    return sample_stratified(d, SAMPLE_RATES).orderBy("docid")
+
+
+def q_dup_span_ranges(spark, sf_dir) -> DataFrame:
+    """Maximal duplicated spans (gaps-and-islands merge of the
+    dup_spans positions): the pieces a substring-dedup pass would cut.
+    The DuckDB twin runs the identical row_number() island trick."""
+    from search_engine_spark.ops.curation import dup_span_ranges
+
+    toks = documents_tokenized(spark, sf_dir).select("docid", "toks")
+    return dup_span_ranges(toks).orderBy("docid", "span_start")

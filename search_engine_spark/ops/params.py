@@ -74,3 +74,30 @@ FP_PRIME = 1_000_000_007          # fingerprint modulus
 # --- PageRank (PageRankCalculator.java:16-18) ---
 PAGERANK_D = 0.85
 PAGERANK_ITERS = 5                # unrolled in the SQL oracle
+
+# --- Corpus curation (ops/curation.py) ---
+# n-gram size shared by the duplicated-span detector and the
+# decontamination overlap check.  3 is the demonstration size for the
+# synthetic corpora (its ~30-word vocabulary makes trigram collisions
+# common at every sf); real pipelines use 8-13 token grams (Lee et
+# al. 2021; GPT-3 used 13-gram decontamination) — the operators take
+# n as a parameter, only the contract pins 3.
+CURATION_NGRAM_N = 3
+# Contract split for decontaminate: docid % DECON_EVAL_MOD == 0 plays
+# the held-out benchmark set, everything else is the training corpus.
+DECON_EVAL_MOD = 97
+# Gopher-style repetition/quality thresholds (Rae et al. 2021 §A1.1
+# uses mean word length in [3, 10]; the top-2-gram character fraction
+# bound there is 0.20 — 0.08 here because the synthetic corpus' tiny
+# vocabulary concentrates bigram mass far above real text).
+GOPHER_MWL_MIN = 3.0
+GOPHER_MWL_MAX = 10.0
+GOPHER_TOP_BIGRAM_MAX = 0.08
+# Deterministic stratified sampling: md5-60bit(docid) % SAMPLE_BUCKETS
+# compared against a per-group keep rate (per-mille).  The contract
+# rates downsample the dominant language and keep the rarest whole.
+SAMPLE_BUCKETS = 1000
+SAMPLE_RATES: dict[str, int] = {
+    "en": 250, "de": 500, "es": 500, "fr": 500, "zh": 1000,
+}
+SAMPLE_DEFAULT_RATE = 500

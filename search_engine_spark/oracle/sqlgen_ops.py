@@ -818,3 +818,158 @@ def sessionize_stream_sql() -> str:
         "session_value FROM per, wm WHERE session_end + 1800 <= wm "
         "ORDER BY user_id, session_start"
     )
+
+
+def dup_spans_sql() -> str:
+    """Twin of contract_ops.q_dup_spans: identical trigram strings
+    (list_slice == Spark slice, space-joined) hashed with the same
+    md5-60bit idiom; a position is duplicated when its hash count
+    across the corpus is >= 2."""
+    from search_engine_spark.ops.params import CURATION_NGRAM_N
+    from search_engine_spark.tokenizer import duckdb_tokens_sql
+
+    n = CURATION_NGRAM_N
+    return (
+        "WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS docid, "
+        f"{duckdb_tokens_sql('text')} AS toks FROM documents), "
+        "pos AS (SELECT docid, ('0x' || substr(md5(gram), 1, 15))::BIGINT "
+        "AS h FROM (SELECT docid, "
+        f"unnest(list_transform(range(0, greatest(len(toks) - {n - 1}, 0)), "
+        f"i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))) "
+        "AS gram FROM toks)), "
+        "cnt AS (SELECT h, count(*) AS c FROM pos GROUP BY h), "
+        "per AS (SELECT docid, count(*) AS n_ngrams, "
+        "sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS n_dup "
+        "FROM pos JOIN cnt USING (h) GROUP BY docid) "
+        "SELECT t.docid, "
+        "CAST(coalesce(per.n_ngrams, 0) AS BIGINT) AS n_ngrams, "
+        "CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup, "
+        "CASE WHEN coalesce(per.n_ngrams, 0) > 0 THEN "
+        "CAST(per.n_dup AS DOUBLE) / CAST(per.n_ngrams AS DOUBLE) "
+        "ELSE CAST(0.0 AS DOUBLE) END AS dup_frac "
+        "FROM toks t LEFT JOIN per ON t.docid = per.docid "
+        "ORDER BY t.docid"
+    )
+
+
+def decontaminate_sql() -> str:
+    """Twin of contract_ops.q_decontaminate: eval set = distinct
+    trigrams of docid % DECON_EVAL_MOD == 0; n_hits counts corpus
+    gram POSITIONS present in that set."""
+    from search_engine_spark.ops.params import (
+        CURATION_NGRAM_N,
+        DECON_EVAL_MOD,
+    )
+    from search_engine_spark.tokenizer import duckdb_tokens_sql
+
+    n, m = CURATION_NGRAM_N, DECON_EVAL_MOD
+    return (
+        "WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS docid, "
+        f"{duckdb_tokens_sql('text')} AS toks FROM documents), "
+        "grams AS (SELECT docid, "
+        f"unnest(list_transform(range(0, greatest(len(toks) - {n - 1}, 0)), "
+        f"i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))) "
+        "AS gram FROM toks), "
+        f"ev AS (SELECT DISTINCT gram FROM grams WHERE docid % {m} = 0), "
+        "hits AS (SELECT g.docid, count(*) AS c FROM grams g "
+        f"JOIN ev USING (gram) WHERE g.docid % {m} != 0 GROUP BY g.docid) "
+        "SELECT t.docid, CAST(coalesce(hits.c, 0) AS BIGINT) AS n_hits, "
+        "coalesce(hits.c, 0) > 0 AS contaminated "
+        f"FROM toks t LEFT JOIN hits ON t.docid = hits.docid "
+        f"WHERE t.docid % {m} != 0 ORDER BY t.docid"
+    )
+
+
+def gopher_quality_sql() -> str:
+    """Twin of contract_ops.q_gopher_quality: raw whitespace words,
+    mean_word_len = CAST(sum AS DOUBLE)/n (the same single IEEE
+    division Spark's long/long emits), top bigram count via the same
+    two-level aggregation; thresholds from ops/params.py."""
+    from search_engine_spark.ops.params import (
+        GOPHER_MWL_MAX,
+        GOPHER_MWL_MIN,
+        GOPHER_TOP_BIGRAM_MAX,
+    )
+
+    return (
+        "WITH w AS (SELECT CAST(doc_id AS BIGINT) AS docid, "
+        "CASE WHEN len(trim(text)) = 0 THEN [] "
+        "ELSE string_split_regex(trim(text), '\\s+') END AS words "
+        "FROM documents), "
+        "base AS (SELECT docid, CAST(len(words) AS BIGINT) AS n_words, "
+        "CAST(coalesce(list_aggregate(list_transform(words, "
+        "x -> len(x)), 'sum'), 0) AS BIGINT) AS sum_len, words FROM w), "
+        "bg AS (SELECT docid, unnest(list_transform("
+        "range(1, len(words)), i -> words[i] || ' ' || words[i + 1])) "
+        "AS b FROM base WHERE n_words >= 2), "
+        "bc AS (SELECT docid, b, count(*) AS c FROM bg GROUP BY 1, 2), "
+        "top AS (SELECT docid, CAST(max(c) AS BIGINT) AS top_c "
+        "FROM bc GROUP BY docid), "
+        "st AS (SELECT base.docid, n_words, "
+        "CASE WHEN n_words > 0 THEN CAST(sum_len AS DOUBLE) / "
+        "CAST(n_words AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END "
+        "AS mean_word_len, "
+        "CASE WHEN n_words > 1 THEN CAST(coalesce(top_c, 0) AS DOUBLE) "
+        "/ CAST(n_words - 1 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END "
+        "AS top_bigram_frac "
+        "FROM base LEFT JOIN top ON base.docid = top.docid) "
+        "SELECT docid, n_words, mean_word_len, top_bigram_frac, "
+        f"(mean_word_len >= CAST({GOPHER_MWL_MIN} AS DOUBLE) AND "
+        f"mean_word_len <= CAST({GOPHER_MWL_MAX} AS DOUBLE) AND "
+        f"top_bigram_frac <= CAST({GOPHER_TOP_BIGRAM_MAX} AS DOUBLE)) "
+        "AS keep FROM st ORDER BY docid"
+    )
+
+
+def sample_stratified_sql() -> str:
+    """Twin of contract_ops.q_sample_stratified: the identical
+    md5-60bit(CAST(docid AS VARCHAR)) % SAMPLE_BUCKETS bucket against
+    the per-language per-mille rates from ops/params.py."""
+    from search_engine_spark.ops.params import (
+        SAMPLE_BUCKETS,
+        SAMPLE_DEFAULT_RATE,
+        SAMPLE_RATES,
+    )
+
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {rate}"
+        for lang, rate in sorted(SAMPLE_RATES.items())
+    )
+    return (
+        "WITH d AS (SELECT CAST(doc_id AS BIGINT) AS docid, lang, "
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT "
+        f"% {SAMPLE_BUCKETS} AS bucket FROM documents) "
+        "SELECT docid, lang, CAST(bucket AS BIGINT) AS bucket FROM d "
+        f"WHERE bucket < CASE lang {cases} ELSE {SAMPLE_DEFAULT_RATE} END "
+        "ORDER BY docid"
+    )
+
+
+def dup_span_ranges_sql() -> str:
+    """Twin of contract_ops.q_dup_span_ranges: same md5-60bit gram
+    hash, same count >= 2 duplicate rule, same pos - row_number()
+    island key."""
+    from search_engine_spark.ops.params import CURATION_NGRAM_N
+    from search_engine_spark.tokenizer import duckdb_tokens_sql
+
+    n = CURATION_NGRAM_N
+    return (
+        "WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS docid, "
+        f"{duckdb_tokens_sql('text')} AS toks FROM documents), "
+        "pos AS (SELECT docid, i AS pos, "
+        "('0x' || substr(md5(gram), 1, 15))::BIGINT AS h FROM "
+        "(SELECT docid, unnest(range(0, greatest(len(toks) "
+        f"- {n - 1}, 0))) AS i, "
+        f"unnest(list_transform(range(0, greatest(len(toks) - {n - 1}, "
+        f"0)), j -> array_to_string(list_slice(toks, j + 1, j + {n}), "
+        "' '))) AS gram FROM toks)), "
+        "dup AS (SELECT h FROM pos GROUP BY h HAVING count(*) >= 2), "
+        "dpos AS (SELECT docid, pos FROM pos JOIN dup USING (h)), "
+        "isl AS (SELECT docid, pos, pos - row_number() OVER "
+        "(PARTITION BY docid ORDER BY pos) AS island FROM dpos) "
+        "SELECT docid, CAST(min(pos) AS BIGINT) AS span_start, "
+        f"CAST(max(pos) - min(pos) + {n} AS BIGINT) AS span_tokens, "
+        "CAST(count(*) AS BIGINT) AS n_positions "
+        "FROM isl GROUP BY docid, island "
+        "ORDER BY docid, span_start"
+    )
