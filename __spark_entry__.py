@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "gopher_quality": CO.q_gopher_quality,
             "sample_stratified": CO.q_sample_stratified,
             "dup_span_ranges": CO.q_dup_span_ranges,
+            "lm_score": CO.q_lm_score,
         }
     )
     # Gate ordering (round 5): the driver records only the FIRST 50
@@ -267,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
             "gopher_quality": OO.gopher_quality_sql(),
             "sample_stratified": OO.sample_stratified_sql(),
             "dup_span_ranges": OO.dup_span_ranges_sql(),
+            "lm_score": OO.lm_score_sql(),
         }
     )
     return o

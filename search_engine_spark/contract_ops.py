@@ -808,3 +808,14 @@ def q_dup_span_ranges(spark, sf_dir) -> DataFrame:
 
     toks = documents_tokenized(spark, sf_dir).select("docid", "toks")
     return dup_span_ranges(toks).orderBy("docid", "span_start")
+
+
+def q_lm_score(spark, sf_dir) -> DataFrame:
+    """Unigram-LM cross-entropy / perplexity quality score over the
+    documents table (CCNet-analog): corpus-wide token probability
+    table joined back to the token stream; xent/ppl rounded on both
+    engines to absorb ln/exp ulp drift."""
+    from search_engine_spark.ops.curation import lm_score
+
+    toks = documents_tokenized(spark, sf_dir).select("docid", "toks")
+    return lm_score(toks).orderBy("docid")

@@ -308,3 +308,52 @@ def dup_span_ranges(
         )
         .select("docid", "span_start", "span_tokens", "n_positions")
     )
+
+
+def lm_score(docs_toks: DataFrame) -> DataFrame:
+    """Unigram-LM cross-entropy quality score (the CCNet-style signal
+    — Wenzek et al. 2020 score with a KenLM 5-gram; the unigram model
+    is the honest offline-container analog, and the operator shape is
+    what matters at scale: a corpus-wide probability table joined back
+    to the token stream, never a Python loop).
+
+    (docid, toks) -> (docid, n_toks, xent, ppl) where
+    p(t) = tf_corpus(t) / total_tokens,
+    xent = -mean ln p(t) over the doc's tokens (rounded to 6 dp),
+    ppl  = exp(xent) (rounded to 4 dp).
+    Zero-token documents report (0, 0.0, 1.0).
+
+    Scale: the vocab table is |V| rows (tiny next to the corpus) —
+    AQE broadcasts it; the per-doc aggregation partial-aggregates
+    map-side.  Rounding on both engines absorbs the sub-1e-12 ulp
+    drift of ln/exp and float summation order, the same contract the
+    BM25 and freshness oracles use.
+    """
+    ex = docs_toks.select("docid", F.explode("toks").alias("term"))
+    vocab = ex.groupBy("term").agg(F.count("*").alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("total"))
+    logp = vocab.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.log(F.col("tf").cast("double") / F.col("total").cast("double"))
+        .alias("logp"),
+    )
+    per = (
+        ex.join(logp, "term")
+        .groupBy("docid")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            (-F.sum("logp") / F.count("*")).alias("xent_raw"),
+        )
+    )
+    return (
+        docs_toks.select("docid")
+        .join(per, "docid", "left")
+        .select(
+            "docid",
+            F.coalesce("n_toks", F.lit(0)).cast("long").alias("n_toks"),
+            F.round(F.coalesce("xent_raw", F.lit(0.0)), 6).alias("xent"),
+            F.round(F.exp(F.coalesce("xent_raw", F.lit(0.0))), 4).alias(
+                "ppl"
+            ),
+        )
+    )

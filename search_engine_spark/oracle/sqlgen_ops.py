@@ -973,3 +973,29 @@ def dup_span_ranges_sql() -> str:
         "FROM isl GROUP BY docid, island "
         "ORDER BY docid, span_start"
     )
+
+
+def lm_score_sql() -> str:
+    """Twin of contract_ops.q_lm_score: same unigram probability
+    table, ln() and exp() with the same ROUND contract as the BM25 /
+    freshness oracles (drift ~1e-12 vs rounding at 1e-6/1e-4)."""
+    from search_engine_spark.tokenizer import duckdb_tokens_sql
+
+    return (
+        "WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS docid, "
+        f"{duckdb_tokens_sql('text')} AS toks FROM documents), "
+        "ex AS (SELECT docid, unnest(toks) AS term FROM toks), "
+        "vocab AS (SELECT term, count(*) AS tf FROM ex GROUP BY term), "
+        "tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM vocab), "
+        "logp AS (SELECT term, ln(CAST(tf AS DOUBLE) / "
+        "CAST(total AS DOUBLE)) AS logp FROM vocab, tot), "
+        "per AS (SELECT docid, CAST(count(*) AS BIGINT) AS n_toks, "
+        "-sum(logp) / count(*) AS xent_raw "
+        "FROM ex JOIN logp USING (term) GROUP BY docid) "
+        "SELECT t.docid, "
+        "CAST(coalesce(per.n_toks, 0) AS BIGINT) AS n_toks, "
+        "ROUND(coalesce(per.xent_raw, 0.0), 6) AS xent, "
+        "ROUND(exp(coalesce(per.xent_raw, 0.0)), 4) AS ppl "
+        "FROM toks t LEFT JOIN per ON t.docid = per.docid "
+        "ORDER BY t.docid"
+    )

@@ -250,3 +250,35 @@ def test_dup_span_ranges_reference_parity(spark):
     # doc 0 has two singleton islands at 0 and 4, nothing at 1
     assert (0, 0, 3, 1) in out and (0, 4, 3, 1) in out
     assert not any(d == 0 and s == 1 for d, s, _, _ in out)
+
+
+# --- lm_score ------------------------------------------------------------------
+
+def test_lm_score_reference_parity(spark):
+    import math
+    from collections import Counter
+
+    from search_engine_spark.ops.curation import lm_score
+
+    docs = [
+        ["a", "a", "a", "b"],     # common tokens -> low xent
+        ["z"],                    # rare token -> high xent
+        [],                       # empty -> (0, 0.0, 1.0)
+        ["a", "z", "b", "a"],
+    ]
+    cnt = Counter(t for d in docs for t in d)
+    total = sum(cnt.values())
+    out = {
+        r.docid: (r.n_toks, r.xent, r.ppl)
+        for r in lm_score(_toks_df(spark, docs)).collect()
+    }
+    for i, d in enumerate(docs):
+        if not d:
+            assert out[i] == (0, 0.0, 1.0), i
+            continue
+        xent = -sum(math.log(cnt[t] / total) for t in d) / len(d)
+        assert out[i][0] == len(d)
+        assert abs(out[i][1] - xent) < 1e-6, i
+        assert abs(out[i][2] - math.exp(xent)) < 1e-3, i
+    # ordering property: the rare-token doc scores strictly worse
+    assert out[1][1] > out[0][1]
