@@ -93,6 +93,19 @@ PAGE_QUERY = "key order merge scan"
 CACHE_QUERY = "group data row column"
 RANKED_QUERY = "key order merge scan"
 
+# Round-5 phrase retrieval (ES match_phrase analog — the reference's
+# adapter never got past findAll, so this is an extension; see
+# query/phrase.py).  Each phrase runs through BOTH forms — scan
+# (token-array adjacency, pure codegen) and positional (Lucene-.pos
+# shaped position-list intersection) — which are identical by
+# construction and share one oracle; the gate window carries the scan
+# form on the bigram and the positional form on the trigram so both
+# code paths AND both phrase lengths get driver-gated.
+PHRASE_QUERIES = {
+    "bm25_phrase_q1": "table hash",
+    "bm25_phrase_q2": "spark table hash",
+}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
@@ -125,6 +138,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round 4: pagination (W2), result cache (S8), ML blend (X9/W6/W5)
     q["bm25_page2"] = partial(
         C.q_bm25_page, query=PAGE_QUERY, page=1, size=10
+    )
+    # round 5: match_phrase — scan form on the bigram, positional
+    # form on the trigram (in-window); the cross twins sit in the
+    # sweep-verified tail
+    q["bm25_phrase_q1"] = partial(
+        C.q_bm25_phrase, phrase=PHRASE_QUERIES["bm25_phrase_q1"], k=10
+    )
+    q["bm25_phrase_ix_q2"] = partial(
+        C.q_bm25_phrase_indexed, phrase=PHRASE_QUERIES["bm25_phrase_q2"], k=10
     )
     q["cached_search"] = partial(C.q_cached_search, query=CACHE_QUERY, k=10)
     q["ranked_blend"] = partial(C.q_ranked_blend, query=RANKED_QUERY, k=10)
@@ -193,8 +215,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # training-pipeline ops) inside the window; the tail eight plus
     # the four 51+ curation entries stay green in
     # scripts/contract_sweep.py.
+    # round-5 phrase additions need two window slots: bm25_wand_q2
+    # joins the tail (same 4-term WAND shape bm25_wand_q1 gates; q3's
+    # single-term dispatch stays) and bm25_full_q2 joins the tail
+    # (its distinguishing entity/intent clauses are plan-only — df 0 —
+    # on this corpus, so its gated computation duplicates
+    # bm25_full_q3's; the clauses firing for real is pytest-pinned on
+    # the code corpus).
+    q["bm25_phrase_q2"] = partial(
+        C.q_bm25_phrase, phrase=PHRASE_QUERIES["bm25_phrase_q2"], k=10
+    )
+    q["bm25_phrase_ix_q1"] = partial(
+        C.q_bm25_phrase_indexed, phrase=PHRASE_QUERIES["bm25_phrase_q1"], k=10
+    )
     for tail in ("bm25_q2", "bm25_q3", "bm25_q4", "ann_sign_lsh",
-                 "ann_ivf", "bm25_and_q2", "simhash_fp", "minhash_sig"):
+                 "ann_ivf", "bm25_and_q2", "simhash_fp", "minhash_sig",
+                 "bm25_wand_q2", "bm25_full_q2"):
         q[tail] = q.pop(tail)
     return q
 
@@ -223,6 +259,12 @@ def oracle_sql() -> dict[str, str]:
     for name, text in FULL_QUERIES.items():
         o[name] = O.bm25_full_sql(text, 10)
     o["bm25_page2"] = O.bm25_page_sql(PAGE_QUERY, page=1, size=10)
+    # scan and positional phrase forms are identical by construction,
+    # so each phrase's two entries share one oracle (the ann_* pattern)
+    o["bm25_phrase_q1"] = O.bm25_phrase_sql(PHRASE_QUERIES["bm25_phrase_q1"], 10)
+    o["bm25_phrase_ix_q1"] = O.bm25_phrase_sql(PHRASE_QUERIES["bm25_phrase_q1"], 10)
+    o["bm25_phrase_q2"] = O.bm25_phrase_sql(PHRASE_QUERIES["bm25_phrase_q2"], 10)
+    o["bm25_phrase_ix_q2"] = O.bm25_phrase_sql(PHRASE_QUERIES["bm25_phrase_q2"], 10)
     # the cache returns the engine result verbatim, so its oracle IS
     # the plain dedup BM25 twin — any cache-layer mutation shows up
     o["cached_search"] = O.bm25_dedup_topk_sql(CACHE_QUERY, 10)

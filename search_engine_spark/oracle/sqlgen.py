@@ -431,3 +431,53 @@ def ranked_blend_sql(query: str, k: int = 10, candidates: int = 40) -> str:
         "ORDER BY ml_score DESC, docid) <= 2 "
         f"ORDER BY ml_score DESC, docid LIMIT {k}"
     )
+
+
+def bm25_phrase_sql(phrase: str, k: int = 10) -> str:
+    """Twin of contract.q_bm25_phrase AND q_bm25_phrase_indexed (the
+    two forms are identical by construction): phrase tf = count of
+    start offsets i (1-based here; the Spark side is 0-based) where
+    all n terms line up adjacently, scored as a single BM25
+    pseudo-term with df = matching-doc count.  Adjacency is
+    post-analyzer adjacency (no stopword position gaps) in both
+    engines.  range(1, len-n+2) is empty when len < n, but the CASE
+    guard keeps the shape parallel to the Spark side's."""
+    from search_engine_spark.tokenizer import py_tokenize
+
+    terms = py_tokenize(" ".join(phrase.strip().split())[:500])
+    if not terms:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS docid, "
+            "CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+        )
+    n = len(terms)
+    if n == 1:
+        ptf = (
+            "len(list_filter(toks, t -> t = '" + terms[0] + "'))"
+        )
+    else:
+        cond = " AND ".join(
+            f"list_extract(toks, i + {j}) = '{t}'" if j else
+            f"list_extract(toks, i) = '{t}'"
+            for j, t in enumerate(terms)
+        )
+        ptf = (
+            f"CASE WHEN len(toks) < {n} THEN 0 ELSE "
+            f"len(list_filter(range(1, len(toks) - {n} + 2), "
+            f"i -> {cond})) END"
+        )
+    return (
+        "WITH " + toks_cte() + ", "
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, "
+        "avg(doclen) AS avgdl FROM tl), "
+        f"m AS (SELECT docid, doclen, {ptf} AS ptf FROM tl), "
+        "hits AS (SELECT * FROM m WHERE ptf > 0), "
+        "dfp AS (SELECT CAST(count(*) AS DOUBLE) AS df FROM hits), "
+        "scored AS (SELECT h.docid, "
+        "ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * "
+        f"(h.ptf * ({BM25_K1} + 1.0) / (h.ptf + {BM25_K1} * "
+        f"(1.0 - {BM25_B} + {BM25_B} * h.doclen / s.avgdl))) AS raw "
+        "FROM hits h CROSS JOIN dfp d CROSS JOIN stats s) "
+        "SELECT docid, ROUND(raw, 4) AS score FROM scored "
+        f"ORDER BY raw DESC, docid LIMIT {k}"
+    )

@@ -1,0 +1,177 @@
+"""Phrase (match_phrase) BM25 retrieval — scan and positional forms.
+
+The reference's intended ES surface is match/multi_match
+(`docs/features/query-expansion-nlp.md:246-300`); ES pairs those with
+`match_phrase`, the canonical exact-adjacency query every fulltext
+engine ships (Lucene stores term positions in the .pos stream for
+exactly this).  The reference never got there (its adapter is a
+findAll stub, SearchRepositoryElasticsearchAdapter.java:30-45), so
+this module is an extension, implemented Spark-first in two forms:
+
+- **scan form** (`phrase_matches_scan`): the tokens array already in
+  the docmap/contract cache IS a positional structure (position =
+  array index), so phrase tf is a pure JVM column expression —
+  count of start offsets where all n terms line up.  One map stage,
+  no shuffle, whole-stage codegen; the semantics gate.
+- **positional form** (`positional_postings` +
+  `phrase_matches_positional`): the scale path.  Per-(term, docid)
+  sorted position lists (what Lucene's .pos stream holds) are built
+  once — pruned to the query terms here; persisted for every term by
+  `indexer.positions` in the real engine — then the phrase match is
+  an n-way docid equi-join folding `array_intersect` over
+  offset-shifted position arrays.  Only docs containing EVERY term
+  survive the joins, so position work is proportional to the
+  candidate set, not the corpus.
+
+Both forms emit identical (docid, doclen, ptf) rows and share
+`phrase_topk` for scoring, so they share one DuckDB oracle.
+
+Scoring is ES `match_phrase` semantics: the phrase acts as a single
+pseudo-term — tf = number of phrase occurrences in the doc, df =
+number of docs containing the phrase — fed through the engine's BM25
+(k1=1.2, b=0.75, log1p idf), same expression shape as contract._bm25
+so cross-engine doubles match bit-for-bit after ROUND(_, 4).
+
+Adjacency is post-analyzer adjacency: the tokenizer drops stopwords
+without leaving position gaps, so "value of table" and "value table"
+are the same phrase — the standard behavior for a gapless analyzer
+chain (ES analyzers emit position increments; ours is the
+no-increment form, documented here and in the oracle twin).
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import BM25_B, BM25_K1
+
+
+def phrase_tf_col(toks: Column, terms: list[str]) -> Column:
+    """JVM column: number of occurrences of ``terms`` as an exact
+    adjacent run inside the token array ``toks``.
+
+    For n terms the candidate start offsets are 0..size-n (0-based);
+    ``element_at`` is 1-based, hence the +1.  ``F.sequence`` would
+    generate a DESCENDING sequence when size < n (Spark fills in
+    step=-1), so short docs are guarded to a literal 0.
+    """
+    n = len(terms)
+    if n == 1:
+        return F.size(F.filter(toks, lambda x: x == F.lit(terms[0])))
+
+    def is_match(i: Column) -> Column:
+        return functools.reduce(
+            operator.and_,
+            (
+                F.element_at(toks, i + j + 1) == F.lit(t)
+                for j, t in enumerate(terms)
+            ),
+        )
+
+    starts = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.when(
+        F.size(toks) >= n, F.size(F.filter(starts, is_match))
+    ).otherwise(F.lit(0))
+
+
+def phrase_matches_scan(tl: DataFrame, terms: list[str]) -> DataFrame:
+    """Scan form: (docid, doclen, ptf>0) via one codegen'd map stage."""
+    return (
+        tl.select(
+            "docid",
+            "doclen",
+            phrase_tf_col(F.col("toks"), terms).alias("ptf"),
+        )
+        .filter(F.col("ptf") > 0)
+    )
+
+
+def positional_postings(tl: DataFrame, terms: list[str]) -> DataFrame:
+    """Pruned positional posting lists: (term, docid, doclen,
+    positions sorted asc).
+
+    ``collect_list`` order is nondeterministic under parallel merge,
+    so the list is ``array_sort``-ed — positions are produced
+    pre-sorted per doc by posexplode, but only within a partition.
+    """
+    return (
+        tl.select(
+            "docid",
+            "doclen",
+            F.posexplode("toks").alias("pos", "term"),
+        )
+        .filter(F.col("term").isin(list(set(terms))))
+        .groupBy("term", "docid", "doclen")
+        .agg(F.array_sort(F.collect_list("pos")).alias("positions"))
+    )
+
+
+def phrase_matches_positional(
+    plists: DataFrame, terms: list[str]
+) -> DataFrame:
+    """Positional form: fold ``array_intersect`` over offset-shifted
+    position lists.  A phrase occurrence starting at p needs term j at
+    position p+j, so term j's positions shifted by -j intersected
+    across all j yields the start positions; ptf = its size.
+
+    Duplicate terms in the phrase are handled naturally — the same
+    (term, docid) positions row joins once per offset it occupies.
+    """
+    n = len(terms)
+    acc = (
+        plists.filter(F.col("term") == terms[0])
+        .select("docid", "doclen", F.col("positions").alias("starts"))
+    )
+    for j in range(1, n):
+        nxt = plists.filter(F.col("term") == terms[j]).select(
+            "docid",
+            F.transform("positions", lambda p: p - F.lit(j)).alias(f"p{j}"),
+        )
+        acc = acc.join(nxt, "docid").select(
+            "docid",
+            "doclen",
+            F.array_intersect("starts", f"p{j}").alias("starts"),
+        )
+    return acc.select(
+        "docid", "doclen", F.size("starts").alias("ptf")
+    ).filter(F.col("ptf") > 0)
+
+
+def phrase_topk(matches: DataFrame, tl: DataFrame, k: int) -> DataFrame:
+    """Score phrase matches as a single BM25 pseudo-term and take
+    top-k.  ``matches`` = (docid, doclen, ptf) with ptf > 0; ``tl``
+    supplies corpus stats (n_docs, avgdl over ALL docs, matching the
+    oracle's stats CTE).  Same expression shape as contract._bm25 so
+    the doubles are bit-identical cross-engine."""
+    stats = tl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("doclen").alias("avgdl"),
+    )
+    dfp = matches.agg(F.count("*").cast("double").alias("df"))
+    tfd = F.col("ptf").cast("double")
+    scored = (
+        matches.crossJoin(F.broadcast(dfp))
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "raw",
+            F.log1p((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (
+                tfd
+                * (BM25_K1 + 1.0)
+                / (
+                    tfd
+                    + BM25_K1
+                    * (1.0 - BM25_B + BM25_B * F.col("doclen") / F.col("avgdl"))
+                )
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("raw"), F.asc("docid"))
+        .limit(k)
+        .select("docid", F.round("raw", 4).alias("score"))
+    )
