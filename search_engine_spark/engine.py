@@ -96,6 +96,10 @@ class SearchEngine:
         # S8 result cache: dropped wholesale per engine generation so a
         # refresh() after append/compact can never serve stale results
         self._result_cache = None
+        # phrase support (indexer/positions.py): lazily-read positional
+        # segments + the per-generation staleness verdict
+        self._possegments = None
+        self._pos_ok: bool | None = None
         self._term_slab_cache: dict[str, frozenset] | None = (
             {} if self.store.kind == "parquet"
             and self.store.exists("term_slabs")
@@ -1396,6 +1400,112 @@ class SearchEngine:
         per = seg.groupBy("slab").applyInPandas(count_group, schema="n long")
         row = per.agg(F.sum("n").alias("total")).collect()[0]
         return int(row["total"] or 0)
+
+    # -- phrase retrieval (positional segments) ---------------------------
+    def build_positions(self, use_arrow_udf: bool = True) -> dict:
+        """Opt into phrase support: build the positional segments
+        (Lucene-.pos analog, indexer/positions.py) for the current
+        corpus.  Must be re-run after append/compact — search_phrase
+        refuses a stale positional index."""
+        from search_engine_spark.indexer.positions import (
+            build_positional_index,
+        )
+
+        m = build_positional_index(self.spark, self.index_dir, use_arrow_udf)
+        self._possegments = None
+        self._pos_ok = None
+        return m
+
+    def _phrase_ready(self) -> None:
+        if self._pos_ok is None:
+            if not self.store.exists("pos_meta", self.spark):
+                self._pos_ok = False
+            else:
+                row = self.store.read(self.spark, "pos_meta").collect()[0]
+                self._pos_ok = int(row["n_docs"]) == int(self.meta["n_docs"])
+        if not self._pos_ok:
+            raise RuntimeError(
+                "positional index missing or stale for this corpus "
+                "generation — run engine.build_positions() first "
+                "(appends/compactions invalidate it, the same rule as "
+                "Lucene merges rewriting .pos)"
+            )
+
+    def search_phrase(self, phrase: str, k: int = 10) -> DataFrame:
+        """ES match_phrase analog over the positional segments: exact
+        adjacent-run occurrences scored as a single BM25 pseudo-term
+        (tf = occurrence count, df = matching-doc count).
+
+        Plan shape: possegments scan pruned to files that can match
+        (bucket file-skip + term row filter + INTERSECTION of the
+        query terms' slab inventories — a phrase doc must hold every
+        term, so only slabs common to all terms can match) ->
+        vectorized position decode (mapInPandas) -> n-way docid
+        equi-join folding array_intersect over offset-shifted
+        position lists -> doclen join on the surviving candidates
+        only -> BM25 -> TakeOrdered.  Position work is proportional
+        to the candidate docs, never the corpus.
+        """
+        from search_engine_spark.indexer.positions import (
+            decode_pos_rows_df,
+        )
+        from search_engine_spark.indexer.segments import term_bucket_py
+        from search_engine_spark.query.phrase import fold_phrase_starts
+        from search_engine_spark.tokenizer import py_tokenize
+
+        terms = py_tokenize(" ".join(phrase.strip().split())[:500])
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        self._phrase_ready()
+        m = self.meta
+        if self._possegments is None:
+            self.store.refresh(self.spark, "possegments")
+            self._possegments = self.store.read(self.spark, "possegments")
+        buckets = sorted(
+            {term_bucket_py(t, int(m["term_buckets"])) for t in terms}
+        )
+        pred = F.col("bucket").isin(buckets) & F.col("term").isin(
+            list(set(terms))
+        )
+        # slab pruning: intersect per-term slab sets (phrase = AND)
+        if self._term_slab_cache is not None:
+            self._slabs_for(terms)  # prime the per-term cache
+            slabs = None
+            for t in terms:
+                s = self._term_slab_cache[t]
+                slabs = s if slabs is None else (slabs & s)
+            if not slabs:
+                return self.spark.createDataFrame([], TOPK_SCHEMA)
+            pred = pred & F.col("slab").isin(sorted(slabs))
+        plists = decode_pos_rows_df(
+            self._possegments.filter(pred), int(m["slab_size"])
+        )
+        matches = fold_phrase_starts(plists, terms)
+        dfp = matches.agg(F.count("*").cast("double").alias("df"))
+        n, k1, b = float(m["n_docs"]), float(m["k1"]), float(m["b"])
+        avgdl = float(m["avgdl"])
+        tfd = F.col("ptf").cast("double")
+        scored = (
+            matches.join(self.docmap.select("docid", "doclen"), "docid")
+            .crossJoin(F.broadcast(dfp))
+            .withColumn(
+                "score",
+                F.log1p((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (
+                    tfd
+                    * (k1 + 1.0)
+                    / (
+                        tfd
+                        + k1 * (1.0 - b + b * F.col("doclen") / F.lit(avgdl))
+                    )
+                ),
+            )
+        )
+        return (
+            scored.orderBy(F.desc("score"), F.asc("docid"))
+            .limit(k)
+            .select("docid", "score")
+        )
 
     def search_ranked(
         self,

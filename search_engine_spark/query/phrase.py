@@ -110,35 +110,48 @@ def positional_postings(tl: DataFrame, terms: list[str]) -> DataFrame:
     )
 
 
-def phrase_matches_positional(
-    plists: DataFrame, terms: list[str]
+def fold_phrase_starts(
+    plists: DataFrame, terms: list[str], carry: list[str] = ()
 ) -> DataFrame:
-    """Positional form: fold ``array_intersect`` over offset-shifted
-    position lists.  A phrase occurrence starting at p needs term j at
-    position p+j, so term j's positions shifted by -j intersected
-    across all j yields the start positions; ptf = its size.
+    """Fold ``array_intersect`` over offset-shifted position lists.
+
+    A phrase occurrence starting at p needs term j at position p+j, so
+    term j's positions shifted by -j intersected across all j yields
+    the start positions; ptf = its size.  ``carry`` names extra
+    columns of the term-0 rows to keep (the contract form carries
+    doclen; the engine's positional segments don't store it and join
+    it post-match instead).
 
     Duplicate terms in the phrase are handled naturally — the same
     (term, docid) positions row joins once per offset it occupies.
     """
-    n = len(terms)
-    acc = (
-        plists.filter(F.col("term") == terms[0])
-        .select("docid", "doclen", F.col("positions").alias("starts"))
+    carry = list(carry)
+    acc = plists.filter(F.col("term") == terms[0]).select(
+        "docid", *carry, F.col("positions").alias("starts")
     )
-    for j in range(1, n):
+    for j in range(1, len(terms)):
         nxt = plists.filter(F.col("term") == terms[j]).select(
             "docid",
             F.transform("positions", lambda p: p - F.lit(j)).alias(f"p{j}"),
         )
         acc = acc.join(nxt, "docid").select(
             "docid",
-            "doclen",
+            *carry,
             F.array_intersect("starts", f"p{j}").alias("starts"),
         )
     return acc.select(
-        "docid", "doclen", F.size("starts").alias("ptf")
+        "docid", *carry, F.size("starts").alias("ptf")
     ).filter(F.col("ptf") > 0)
+
+
+def phrase_matches_positional(
+    plists: DataFrame, terms: list[str]
+) -> DataFrame:
+    """Positional form over (term, docid, doclen, positions) lists:
+    (docid, doclen, ptf>0)."""
+    return fold_phrase_starts(plists, terms, carry=["doclen"]).select(
+        "docid", "doclen", "ptf"
+    )
 
 
 def phrase_topk(matches: DataFrame, tl: DataFrame, k: int) -> DataFrame:

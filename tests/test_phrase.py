@@ -164,3 +164,146 @@ def test_duckdb_twin_on_synthetic(spark, tl, tmp_path):
             assert list(g.columns) == list(want.columns)
             assert g["docid"].tolist() == want["docid"].tolist(), phrase
             assert g["score"].tolist() == want["score"].tolist(), phrase
+
+
+# -- engine positional segments (indexer/positions.py) -----------------
+
+
+def test_positions_codec_roundtrip():
+    """encode/decode_term_positions over fuzzed (docids, plens,
+    positions) shapes, incl. single-doc, long runs, and large gaps."""
+    import numpy as np
+
+    from search_engine_spark.indexer import positions as POS
+
+    rng = np.random.default_rng(7)
+    for trial in range(200):
+        n_docs = int(rng.integers(1, 40))
+        docids = np.sort(
+            rng.choice(100_000, size=n_docs, replace=False)
+        ).astype(np.int64)
+        plens = rng.integers(1, 12, size=n_docs).astype(np.int64)
+        pos = np.concatenate(
+            [
+                np.sort(rng.choice(5_000, size=int(c), replace=False))
+                for c in plens
+            ]
+        ).astype(np.int64)
+        blob = POS.encode_term_positions(docids, plens, pos)
+        d2, l2, p2 = POS.decode_term_positions(blob)
+        assert (d2 == docids).all() and (l2 == plens).all()
+        assert (p2 == pos).all()
+
+
+@pytest.fixture(scope="module")
+def phrase_engine(spark, tmp_path_factory):
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.corpus import corpus_df
+    from search_engine_spark.engine import SearchEngine
+    from search_engine_spark.indexer.build import build_index
+
+    d = str(tmp_path_factory.mktemp("idx_pos"))
+    docs = corpus_df(spark, 400, partitions=8)
+    build_index(
+        spark, docs, d, EngineConfig(slab_size=128, term_buckets=8)
+    )
+    eng = SearchEngine(spark, d)
+    eng.build_positions()
+    return SearchEngine(spark, d)
+
+
+@pytest.fixture(scope="module")
+def phrase_engine_tl(spark, phrase_engine):
+    from search_engine_spark.tokenizer import tokens_col
+
+    tl = (
+        phrase_engine.docmap.select(
+            "docid", tokens_col("content").alias("toks")
+        )
+        .withColumn("doclen", F.size("toks"))
+        .cache()
+    )
+    tl.count()
+    return tl
+
+
+ENGINE_PHRASES = [
+    "merge sort",            # common bigram
+    "binary search",         # bigram
+    "hash hash",             # duplicate term
+    "sort merge sort",       # trigram w/ duplicate
+    "zzzzz qqqqq",           # no such terms -> empty via slab prune
+    "merge",                 # single-term phrase == plain tf
+]
+
+
+@pytest.mark.parametrize("phrase", ENGINE_PHRASES)
+def test_engine_phrase_matches_scan_form(
+    phrase_engine, phrase_engine_tl, phrase
+):
+    """search_phrase (persisted positional segments, pruned scan,
+    varint decode, positional fold) is rank- and score-identical to
+    the scan form over the same corpus (which test_duckdb_twin pins
+    to the DuckDB oracle).  phrase_topk rounds to 4 for the oracle
+    compare; the engine returns raw scores like search() — compare at
+    the rounded precision and re-check raw order."""
+    terms = py_tokenize(phrase)
+    want = [
+        (r["docid"], r["score"])
+        for r in PH.phrase_topk(
+            PH.phrase_matches_scan(phrase_engine_tl, terms),
+            phrase_engine_tl,
+            10,
+        ).collect()
+    ]
+    got_rows = phrase_engine.search_phrase(phrase, 10).collect()
+    got = [(r["docid"], round(r["score"], 4)) for r in got_rows]
+    assert got == want, phrase
+    raw = [r["score"] for r in got_rows]
+    assert raw == sorted(raw, reverse=True)
+
+
+def test_engine_phrase_staleness(spark, tmp_path_factory):
+    """No positional index -> refusal; append invalidates; rebuild
+    restores and sees the appended docs."""
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.corpus import corpus_df
+    from search_engine_spark.engine import SearchEngine
+    from search_engine_spark.indexer.build import (
+        append_documents,
+        build_index,
+    )
+
+    d = str(tmp_path_factory.mktemp("idx_pos_stale"))
+    docs = corpus_df(spark, 200, partitions=4)
+    build_index(
+        spark, docs, d, EngineConfig(slab_size=64, term_buckets=8)
+    )
+    eng = SearchEngine(spark, d)
+    with pytest.raises(RuntimeError, match="positional index"):
+        eng.search_phrase("merge sort", 5).collect()
+    eng.build_positions()
+    eng = SearchEngine(spark, d)
+    base = eng.search_phrase("merge sort", 5).collect()
+    assert len(base) > 0
+
+    extra = spark.createDataFrame(
+        [
+            ("r/new", f"src/new_{i}.py", "c0", "python",
+             "merge sort merge sort merge sort")
+            for i in range(3)
+        ],
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    append_documents(spark, d, extra)
+    eng = SearchEngine(spark, d)
+    with pytest.raises(RuntimeError, match="stale"):
+        eng.search_phrase("merge sort", 5).collect()
+    eng.build_positions()
+    eng = SearchEngine(spark, d)
+    res = eng.search_phrase("merge sort", 5).collect()
+    # the appended docs are tiny and pure phrase, so they win top-3
+    new_ids = {r["docid"] for r in res[:3]}
+    assert len(new_ids) == 3
+    assert all(r["score"] >= res[3]["score"] for r in res[:3])
