@@ -10,6 +10,7 @@ for metadata/snippets.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -97,9 +98,17 @@ class SearchEngine:
         # refresh() after append/compact can never serve stale results
         self._result_cache = None
         # phrase support (indexer/positions.py): lazily-read positional
-        # segments + the per-generation staleness verdict
+        # segments, the per-generation staleness verdict, the last
+        # query's persisted candidate set, and the serving path's
+        # doclen array + pyarrow dataset handle
+        old = getattr(self, "_phrase_matches", None)
+        if old is not None:
+            old.unpersist()
         self._possegments = None
         self._pos_ok: bool | None = None
+        self._phrase_matches: DataFrame | None = None
+        self._doclen_arr = None
+        self._pos_local_ds = None
         self._term_slab_cache: dict[str, frozenset] | None = (
             {} if self.store.kind == "parquet"
             and self.store.exists("term_slabs")
@@ -1414,6 +1423,7 @@ class SearchEngine:
         m = build_positional_index(self.spark, self.index_dir, use_arrow_udf)
         self._possegments = None
         self._pos_ok = None
+        self._pos_local_ds = None
         return m
 
     def _phrase_ready(self) -> None:
@@ -1436,21 +1446,22 @@ class SearchEngine:
         adjacent-run occurrences scored as a single BM25 pseudo-term
         (tf = occurrence count, df = matching-doc count).
 
-        Plan shape: possegments scan pruned to files that can match
-        (bucket file-skip + term row filter + INTERSECTION of the
-        query terms' slab inventories — a phrase doc must hold every
-        term, so only slabs common to all terms can match) ->
-        vectorized position decode (mapInPandas) -> n-way docid
-        equi-join folding array_intersect over offset-shifted
-        position lists -> doclen join on the surviving candidates
-        only -> BM25 -> TakeOrdered.  Position work is proportional
-        to the candidate docs, never the corpus.
+        Plan shape (same as the BM25 WAND path's): possegments scan
+        pruned to files that can match (bucket file-skip + term row
+        filter + INTERSECTION of the query terms' slab inventories —
+        a phrase doc must hold every term, so only slabs common to
+        all terms can match) -> groupBy(slab).applyInPandas with an
+        all-numpy composite-key position intersection
+        (positions.make_phrase_matcher; only COMPRESSED chunks
+        shuffle, never decoded position lists) -> doclen join on the
+        surviving candidates only -> BM25 -> TakeOrdered.  Position
+        work is slab-local and proportional to the query terms'
+        occurrence counts, never the corpus.
         """
         from search_engine_spark.indexer.positions import (
-            decode_pos_rows_df,
+            make_phrase_matcher,
         )
         from search_engine_spark.indexer.segments import term_bucket_py
-        from search_engine_spark.query.phrase import fold_phrase_starts
         from search_engine_spark.tokenizer import py_tokenize
 
         terms = py_tokenize(" ".join(phrase.strip().split())[:500])
@@ -1477,20 +1488,34 @@ class SearchEngine:
             if not slabs:
                 return self.spark.createDataFrame([], TOPK_SCHEMA)
             pred = pred & F.col("slab").isin(sorted(slabs))
-        plists = decode_pos_rows_df(
-            self._possegments.filter(pred), int(m["slab_size"])
+        matches = (
+            self._possegments.filter(pred)
+            .groupBy("slab")
+            .applyInPandas(
+                make_phrase_matcher(terms, int(m["slab_size"])),
+                schema="docid long, ptf long",
+            )
         )
-        matches = fold_phrase_starts(plists, terms)
-        dfp = matches.agg(F.count("*").cast("double").alias("df"))
+        # df is a scalar the score needs on every row; materializing
+        # matches once (persist + count) instead of crossJoin-ing an
+        # aggregate of the same plan halves the kernel executions —
+        # the previous query's candidate set is dropped here, the
+        # current one at the next call or refresh()
+        if self._phrase_matches is not None:
+            self._phrase_matches.unpersist()
+        matches = matches.persist()
+        self._phrase_matches = matches
+        dfv = float(matches.count())
+        if dfv == 0.0:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
         n, k1, b = float(m["n_docs"]), float(m["k1"]), float(m["b"])
         avgdl = float(m["avgdl"])
         tfd = F.col("ptf").cast("double")
         scored = (
             matches.join(self.docmap.select("docid", "doclen"), "docid")
-            .crossJoin(F.broadcast(dfp))
             .withColumn(
                 "score",
-                F.log1p((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                F.lit(math.log1p((n - dfv + 0.5) / (dfv + 0.5)))
                 * (
                     tfd
                     * (k1 + 1.0)
@@ -1506,6 +1531,95 @@ class SearchEngine:
             .limit(k)
             .select("docid", "score")
         )
+
+    def search_phrase_local(
+        self, phrase: str, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Serving-path phrase top-k: NO Spark job — pyarrow pruned
+        read of the positional chunks + the same numpy composite-key
+        kernel per slab, merged on the driver.  Rank- and
+        score-identical to ``search_phrase()`` (same chunks, same
+        kernel, same tie-break; asserted in tests) — the phrase
+        analog of ``search_local``.
+
+        Doc lengths come from a per-generation int32 array loaded
+        once from docmap (4 B/doc: ~40 MB at 10M docs, the same
+        order as the serving caches' byte budgets).
+        """
+        import numpy as np
+        import pyarrow.dataset as ds
+
+        from search_engine_spark.indexer.positions import (
+            make_phrase_matcher,
+        )
+        from search_engine_spark.indexer.segments import term_bucket_py
+        from search_engine_spark.query.wand import _topk_select
+        from search_engine_spark.tokenizer import py_tokenize
+
+        terms = py_tokenize(" ".join(phrase.strip().split())[:500])
+        if not terms:
+            return []
+        self._phrase_ready()
+        if self.store.kind != "parquet":
+            raise NotImplementedError(
+                "the no-Spark serving path reads parquet segment files "
+                "directly; with a catalog store, serve via "
+                "search_phrase()"
+            )
+        m = self.meta
+        slabs = None
+        if self._term_slab_cache is not None:
+            self._slabs_for(terms)
+            for t in terms:
+                s = self._term_slab_cache[t]
+                slabs = s if slabs is None else (slabs & s)
+            if not slabs:
+                return []
+        if self._pos_local_ds is None:
+            self._pos_local_ds = ds.dataset(
+                f"{self.index_dir}/possegments", partitioning="hive"
+            )
+        buckets = sorted(
+            {term_bucket_py(t, int(m["term_buckets"])) for t in terms}
+        )
+        flt = ds.field("term").isin(list(set(terms))) & ds.field(
+            "bucket"
+        ).isin(buckets)
+        if slabs is not None:
+            flt = flt & ds.field("slab").isin(sorted(slabs))
+        pdf = self._pos_local_ds.to_table(
+            filter=flt, columns=["slab", "term", "posdata"]
+        ).to_pandas()
+        if pdf.empty:
+            return []
+        kernel = make_phrase_matcher(terms, int(m["slab_size"]))
+        parts = [
+            kernel((int(slab),), g) for slab, g in pdf.groupby("slab")
+        ]
+        docids = np.concatenate([p["docid"].to_numpy() for p in parts])
+        ptf = np.concatenate(
+            [p["ptf"].to_numpy() for p in parts]
+        ).astype(np.float64)
+        if docids.size == 0:
+            return []
+        if self._doclen_arr is None:
+            tab = ds.dataset(
+                f"{self.index_dir}/docmap", partitioning="hive"
+            ).to_table(columns=["docid", "doclen"])
+            ids = tab.column("docid").to_numpy()
+            arr = np.zeros(int(ids.max()) + 1, dtype=np.int32)
+            arr[ids] = tab.column("doclen").to_numpy()
+            self._doclen_arr = arr
+        dl = self._doclen_arr[docids].astype(np.float64)
+        n, k1, b = float(m["n_docs"]), float(m["k1"]), float(m["b"])
+        avgdl = float(m["avgdl"])
+        dfv = float(docids.size)
+        idf = math.log1p((n - dfv + 0.5) / (dfv + 0.5))
+        sc = idf * (
+            ptf * (k1 + 1.0) / (ptf + k1 * (1.0 - b + b * dl / avgdl))
+        )
+        ids_k, sc_k = _topk_select(docids, sc, k)
+        return [(int(d), float(s)) for d, s in zip(ids_k, sc_k)]
 
     def search_ranked(
         self,

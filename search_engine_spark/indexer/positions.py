@@ -177,6 +177,66 @@ def build_positional_index(
     return {"t_positions": round(time.time() - t0, 2)}
 
 
+def make_phrase_matcher(terms: list[str], slab_size: int):
+    """applyInPandas kernel for one slab's pruned positional chunks:
+    (docid global, ptf) for docs containing ``terms`` as an exact
+    adjacent run.
+
+    All-numpy composite-key intersection — no per-doc Python objects:
+    term at phrase offset j contributes keys
+    ``docid_local * M + (pos - j + n)`` (M = max position + n + 1, a
+    common per-slab radix; the +n keeps keys non-negative), so a
+    phrase start at p in doc d is the single integer d*M + (p + n)
+    surviving the intersection across ALL offsets.  Keys are unique
+    per offset ((docid, pos) is unique), so ``np.intersect1d(...,
+    assume_unique=True)`` applies; offsets are folded smallest-stream
+    first with an empty-accumulator early exit.  Duplicate phrase
+    terms reuse the same decoded chunk at each of their offsets.
+
+    This is the same plan shape as the BM25 scorer
+    (query/wand.make_slab_scorer): only the COMPRESSED chunks of the
+    query's terms ever shuffle; position work is slab-local.
+    """
+    n = len(terms)
+
+    def match(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        base = int(key[0]) * slab_size
+        decoded: dict[str, tuple] = {}
+        for t, blob in zip(pdf["term"], pdf["posdata"]):
+            decoded[t] = decode_term_positions(bytes(blob))
+        empty = pd.DataFrame({
+            "docid": pd.Series([], dtype="int64"),
+            "ptf": pd.Series([], dtype="int64"),
+        })
+        if any(t not in decoded for t in terms):
+            return empty
+        maxpos = max(
+            (int(p.max()) if len(p) else 0)
+            for _, _, p in (decoded[t] for t in set(terms))
+        )
+        m_radix = maxpos + n + 1
+        offsets = sorted(
+            range(n), key=lambda j: len(decoded[terms[j]][2])
+        )
+        acc = None
+        for j in offsets:
+            d, plens, pos = decoded[terms[j]]
+            keys = np.repeat(d, plens) * m_radix + (pos - j + n)
+            acc = (
+                keys
+                if acc is None
+                else np.intersect1d(acc, keys, assume_unique=True)
+            )
+            if acc.size == 0:
+                return empty
+        docids, counts = np.unique(acc // m_radix, return_counts=True)
+        return pd.DataFrame(
+            {"docid": docids + base, "ptf": counts.astype(np.int64)}
+        )
+
+    return match
+
+
 def decode_pos_rows_df(pruned: DataFrame, slab_size: int) -> DataFrame:
     """possegments rows -> (term, docid global, positions array<int>)
     via Arrow mapInPandas (vectorized decode, no per-row Python in the

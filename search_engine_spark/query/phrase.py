@@ -154,6 +154,50 @@ def phrase_matches_positional(
     )
 
 
+def grouped_phrase_starts(
+    plists: DataFrame, terms: list[str]
+) -> DataFrame:
+    """Single-pass variant of ``fold_phrase_starts``: ONE
+    groupBy(docid) shuffle instead of n-1 docid equi-joins.
+
+    The join fold re-executes its input plan once per term (each
+    ``plists.filter(term == t)`` branch is a separate scan+decode) —
+    fine for the contract twin over a cached token table, wasteful
+    for the engine where the input is a pruned parquet scan plus a
+    varint-decode ``mapInPandas``.  Here the decoded rows shuffle
+    once into (docid -> term->positions map); the intersect fold is
+    then pure column expressions over the map.  Duplicate phrase
+    terms read the same map entry — the exact semantics the join
+    form gets from the same row joining at each offset.  Result is
+    identical by construction: same shifted-intersect algebra.
+    """
+    uniq = list(dict.fromkeys(terms))
+    grouped = (
+        plists.groupBy("docid")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("m")
+        )
+        # a doc missing any distinct term cannot match (conjunctive)
+        .filter(F.size("m") == len(uniq))
+    )
+    # NB: the shift lambda must take exactly ONE parameter —
+    # F.transform introspects the arity and would feed the array
+    # index into a second (even defaulted) parameter.
+    def shift(j: int):
+        return lambda p: p - F.lit(j)
+
+    starts = F.col("m").getItem(terms[0])
+    for j in range(1, len(terms)):
+        starts = F.array_intersect(
+            starts, F.transform(F.col("m").getItem(terms[j]), shift(j))
+        )
+    return grouped.select(
+        "docid", F.size(starts).alias("ptf")
+    ).filter(F.col("ptf") > 0)
+
+
 def phrase_topk(matches: DataFrame, tl: DataFrame, k: int) -> DataFrame:
     """Score phrase matches as a single BM25 pseudo-term and take
     top-k.  ``matches`` = (docid, doclen, ptf) with ptf > 0; ``tl``

@@ -307,3 +307,51 @@ def test_engine_phrase_staleness(spark, tmp_path_factory):
     new_ids = {r["docid"] for r in res[:3]}
     assert len(new_ids) == 3
     assert all(r["score"] >= res[3]["score"] for r in res[:3])
+
+
+@pytest.mark.parametrize("phrase", ["merge sort", "sort merge sort"])
+def test_decode_form_pins_slab_kernel(
+    phrase_engine, phrase_engine_tl, phrase
+):
+    """The readable composition (decode_pos_rows_df ->
+    grouped_phrase_starts, pure DataFrame ops) produces the same
+    (docid, ptf) set as the scan form — pinning the all-numpy slab
+    kernel the engine actually runs (which the engine-vs-scan test
+    covers) from a second, independently-built direction."""
+    from search_engine_spark.indexer.positions import decode_pos_rows_df
+    from search_engine_spark.query.phrase import grouped_phrase_starts
+
+    eng = phrase_engine
+    terms = py_tokenize(phrase)
+    plists = decode_pos_rows_df(
+        eng.store.read(eng.spark, "possegments").filter(
+            F.col("term").isin(list(set(terms)))
+        ),
+        int(eng.meta["slab_size"]),
+    )
+    got = {
+        (r["docid"], r["ptf"])
+        for r in grouped_phrase_starts(plists, terms).collect()
+    }
+    want = {
+        (r["docid"], r["ptf"])
+        for r in PH.phrase_matches_scan(phrase_engine_tl, terms)
+        .select("docid", "ptf")
+        .collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("phrase", ENGINE_PHRASES)
+def test_phrase_serving_matches_spark(phrase_engine, phrase):
+    """search_phrase_local (pyarrow + numpy, no Spark job) is rank-
+    and score-identical to search_phrase — the phrase analog of the
+    search_local == search pin."""
+    want = [
+        (r["docid"], r["score"])
+        for r in phrase_engine.search_phrase(phrase, 10).collect()
+    ]
+    got = phrase_engine.search_phrase_local(phrase, 10)
+    assert [d for d, _ in got] == [d for d, _ in want], phrase
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=0, abs=0), phrase
