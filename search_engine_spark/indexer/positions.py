@@ -128,14 +128,30 @@ def make_positions_encoder(slab_size: int):
 
 
 def build_positional_index(
-    spark: SparkSession, index_dir: str, use_arrow_udf: bool = True
+    spark: SparkSession,
+    index_dir: str,
+    use_arrow_udf: bool = True,
+    incremental: bool = True,
 ) -> dict:
-    """Build the positional segments for an EXISTING index.
+    """Build (or extend) the positional segments for an EXISTING
+    index.
 
     Re-tokenizes the persisted docmap (deterministic — the same
     tokenizer the build used; build_index deliberately does not
     persist token arrays) and writes ``possegments`` (partitioned by
     slab, one file per bucket) + the ``pos_meta`` staleness stamp.
+
+    ``incremental=True`` (default): when a pos_meta stamp exists and
+    docids are append-only contiguous (they are — append_documents
+    assigns new docids AFTER all existing, build.py:354), only docs
+    from the first slab the new docids touch onward are re-tokenized
+    and only those slab partitions are overwritten — the boundary
+    slab is re-encoded whole because chunks are per-(slab, bucket)
+    files.  At 100 TB this is what makes phrase support maintainable:
+    appending 1% of the corpus costs ~1% of the positional build, not
+    a full re-tokenize.  Compaction keeps docids and content, so a
+    compacted index's positional segments stay valid without any
+    rebuild (the stamp survives: n_docs is unchanged).
     """
     import time
 
@@ -147,9 +163,24 @@ def build_positional_index(
     meta = store.get_meta(spark)
     slab_size = int(meta["slab_size"])
     n_buckets = int(meta["term_buckets"])
+    n_docs = int(meta["n_docs"])
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     docmap = store.read(spark, "docmap")
+    from_docid = 0
+    mode = "full"
+    if incremental and store.exists("pos_meta", spark):
+        covered = int(
+            store.read(spark, "pos_meta").collect()[0]["n_docs"]
+        )
+        if covered == n_docs:
+            return {"t_positions": 0.0, "mode": "noop", "from_docid": n_docs}
+        if 0 < covered < n_docs:
+            # rewrite from the head of the slab the first new docid
+            # lands in (whole-slab files; earlier slabs are immutable)
+            from_docid = (covered // slab_size) * slab_size
+            mode = "incremental"
+            docmap = docmap.filter(F.col("docid") >= from_docid)
     tok = tokens_udf_col("content") if use_arrow_udf else tokens_col("content")
     occ = (
         docmap.select("docid", tok.alias("tokens"))
@@ -165,16 +196,25 @@ def build_positional_index(
     seg = occ.groupBy("slab", "bucket").applyInPandas(
         make_positions_encoder(slab_size), schema=POS_SEGMENT_SCHEMA
     )
+    # full rebuild replaces the TABLE (under the session's dynamic
+    # partitionOverwriteMode an "overwrite" of a partitioned path only
+    # replaces touched partitions — stale high slabs would survive if
+    # the corpus ever shrank, e.g. a fresh build_index into the same
+    # dir); incremental touches only the partitions it carries
+    if mode == "full":
+        store.drop("possegments", spark)
     store.write(
         seg, "possegments", mode="dynamic_overwrite", partition_by="slab"
     )
     store.refresh(spark, "possegments")
-    stamp = spark.createDataFrame(
-        [(int(meta["n_docs"]),)], "n_docs long"
-    )
+    stamp = spark.createDataFrame([(n_docs,)], "n_docs long")
     store.write(stamp, "pos_meta")
     store.refresh(spark, "pos_meta")
-    return {"t_positions": round(time.time() - t0, 2)}
+    return {
+        "t_positions": round(time.time() - t0, 2),
+        "mode": mode,
+        "from_docid": from_docid,
+    }
 
 
 def make_phrase_matcher(terms: list[str], slab_size: int):

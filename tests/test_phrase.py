@@ -355,3 +355,60 @@ def test_phrase_serving_matches_spark(phrase_engine, phrase):
     assert [d for d, _ in got] == [d for d, _ in want], phrase
     for (_, gs), (_, ws) in zip(got, want):
         assert gs == pytest.approx(ws, rel=0, abs=0), phrase
+
+
+def test_incremental_positions_equal_full(spark, tmp_path_factory):
+    """After an append, the default incremental positional build
+    rewrites only slabs from the old-boundary slab onward — and its
+    table is BYTE-IDENTICAL to a from-scratch rebuild."""
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.corpus import corpus_df
+    from search_engine_spark.engine import SearchEngine
+    from search_engine_spark.indexer.build import (
+        append_documents,
+        build_index,
+    )
+    from search_engine_spark.indexer.positions import (
+        build_positional_index,
+    )
+
+    d = str(tmp_path_factory.mktemp("idx_pos_incr"))
+    build_index(
+        spark,
+        corpus_df(spark, 300, partitions=4),
+        d,
+        EngineConfig(slab_size=64, term_buckets=8),
+    )
+    eng = SearchEngine(spark, d)
+    m0 = eng.build_positions()
+    assert m0["mode"] == "full"
+    n0 = int(eng.meta["n_docs"])
+    # noop when already covered
+    assert build_positional_index(spark, d)["mode"] == "noop"
+
+    append_documents(
+        spark, d, corpus_df(spark, 360, partitions=4)
+    )
+    eng = SearchEngine(spark, d)
+    m1 = eng.build_positions()
+    assert m1["mode"] == "incremental"
+    assert m1["from_docid"] == (n0 // 64) * 64
+
+    def snap():
+        return (
+            eng.store.read(spark, "possegments")
+            .orderBy("slab", "bucket", "term")
+            .select("slab", "bucket", "term", "df", "posdata")
+            .toPandas()
+        )
+
+    incr = snap()
+    m2 = build_positional_index(spark, d, incremental=False)
+    assert m2["mode"] == "full"
+    full = snap()
+    assert len(incr) == len(full)
+    for col in ("slab", "bucket", "term", "df"):
+        assert incr[col].tolist() == full[col].tolist()
+    assert [bytes(x) for x in incr["posdata"]] == [
+        bytes(x) for x in full["posdata"]
+    ]
