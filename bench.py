@@ -162,6 +162,24 @@ def main() -> None:
     eng.search_advanced("how to search database index", 10, pagerank=pr).collect()
     queries["advanced_q"] = round(time.time() - t0, 3)
 
+    # --- 2e. phrase retrieval: opt-in positional artifact build +
+    # one Spark-path query + the no-Spark phrase serving head ---
+    t0 = time.time()
+    eng.build_positions()
+    queries["build_positions"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    eng.search_phrase("merge sort", 10).collect()
+    queries["phrase_q"] = round(time.time() - t0, 3)
+    phrase_set = (
+        "merge sort", "binary search", "hash table lookup",
+        "sort merge sort", "parse parse", "zzznosuchterm qqq",
+    )
+    eng.search_phrase_local("merge sort", 10)  # warm handles + doclen
+    t0 = time.time()
+    for p in phrase_set:
+        eng.search_phrase_local(p, 10)
+    queries["phrase_serving_6q"] = round(time.time() - t0, 3)
+
     # --- 3. batch throughput ---
     batch = {}
     for rep in range(4):
