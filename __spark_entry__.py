@@ -93,6 +93,16 @@ PAGE_QUERY = "key order merge scan"
 CACHE_QUERY = "group data row column"
 RANKED_QUERY = "key order merge scan"
 
+# Round-5 fuzzy + prefix retrieval (ES `match` fuzziness / `prefix`
+# under the scoring_boolean rewrite; semantics frozen in
+# query/fuzzy.py).  "spart" expands to BOTH "spark" and "part" at
+# distance 1, "kay" to "key", and "data" is an exact vocabulary hit
+# (boost 1.0) — so one query exercises d=0 and d=1 boosts and a
+# multi-expansion term.  Prefix "s" expands to six corpus terms
+# (small scan slow sort spark stream).
+FUZZY_QUERY = "spart kay data"
+PREFIX_QUERY = "s"
+
 # Round-5 phrase retrieval (ES match_phrase analog — the reference's
 # adapter never got past findAll, so this is an extension; see
 # query/phrase.py).  Each phrase runs through BOTH forms — scan
@@ -148,6 +158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_phrase_ix_q2"] = partial(
         C.q_bm25_phrase_indexed, phrase=PHRASE_QUERIES["bm25_phrase_q2"], k=10
     )
+    # round 5: fuzzy (levenshtein<=1, Lucene boost, df-capped
+    # expansion) and prefix (scoring_boolean) retrieval
+    q["bm25_fuzzy_q1"] = partial(C.q_bm25_fuzzy, query=FUZZY_QUERY, k=10)
+    q["bm25_prefix_q1"] = partial(C.q_bm25_prefix, prefix=PREFIX_QUERY, k=10)
     q["cached_search"] = partial(C.q_cached_search, query=CACHE_QUERY, k=10)
     q["ranked_blend"] = partial(C.q_ranked_blend, query=RANKED_QUERY, k=10)
     q.update(
@@ -228,9 +242,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_phrase_ix_q1"] = partial(
         C.q_bm25_phrase_indexed, phrase=PHRASE_QUERIES["bm25_phrase_q1"], k=10
     )
+    # round-5 fuzzy/prefix need two window slots: bm25_full_q3 joins
+    # the tail (its bare BEST_FIELDS + pagerank computation is a
+    # strict subset of bm25_full_q1's, which stays gated) and
+    # bm25_fields_q1 joins the tail (fields_q2 runs the same
+    # two-field machinery WITH the expansion clauses on top).
     for tail in ("bm25_q2", "bm25_q3", "bm25_q4", "ann_sign_lsh",
                  "ann_ivf", "bm25_and_q2", "simhash_fp", "minhash_sig",
-                 "bm25_wand_q2", "bm25_full_q2"):
+                 "bm25_wand_q2", "bm25_full_q2", "bm25_full_q3",
+                 "bm25_fields_q1"):
         q[tail] = q.pop(tail)
     return q
 
@@ -265,6 +285,8 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_phrase_ix_q1"] = O.bm25_phrase_sql(PHRASE_QUERIES["bm25_phrase_q1"], 10)
     o["bm25_phrase_q2"] = O.bm25_phrase_sql(PHRASE_QUERIES["bm25_phrase_q2"], 10)
     o["bm25_phrase_ix_q2"] = O.bm25_phrase_sql(PHRASE_QUERIES["bm25_phrase_q2"], 10)
+    o["bm25_fuzzy_q1"] = O.bm25_fuzzy_sql(FUZZY_QUERY, 10)
+    o["bm25_prefix_q1"] = O.bm25_prefix_sql(PREFIX_QUERY, 10)
     # the cache returns the engine result verbatim, so its oracle IS
     # the plain dedup BM25 twin — any cache-layer mutation shows up
     o["cached_search"] = O.bm25_dedup_topk_sql(CACHE_QUERY, 10)

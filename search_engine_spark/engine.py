@@ -94,6 +94,9 @@ class SearchEngine:
         self._decoded_nbytes = 0
         self._df_cache: dict[str, int] = {}
         self._dym_dict: tuple[int, set[str]] | None = None
+        # full content-namespace {term: df} for serving-side fuzzy /
+        # prefix expansion; built lazily once per generation
+        self._local_vocab: dict[str, int] | None = None
         # S8 result cache: dropped wholesale per engine generation so a
         # refresh() after append/compact can never serve stale results
         self._result_cache = None
@@ -227,6 +230,14 @@ class SearchEngine:
 
             for t, w in intent_extra_weights(query).items():
                 weights.setdefault(t, w)
+        return self._search_weights(weights, k, mode=mode)
+
+    def _search_weights(
+        self, weights: dict[str, float], k: int = 10, mode: str = "or"
+    ) -> DataFrame:
+        """Weighted-clause WAND core shared by search / search_fuzzy /
+        search_prefix: per-term contribution = w_t * idf_t * tfn (the
+        weight folds into idf, so pruning bounds remain exact)."""
         terms = list(weights)
         if not terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
@@ -254,6 +265,81 @@ class SearchEngine:
         )
         per_slab = seg.groupBy("slab").applyInPandas(scorer, schema=TOPK_SCHEMA)
         return per_slab.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+    def _content_vocab(self):
+        """(term, df) over the CONTENT namespace — the fuzzy/prefix
+        expansion dictionary (title terms live under TITLE_PREFIX and
+        never match a bare query token)."""
+        from search_engine_spark.config import TITLE_PREFIX
+
+        return self.df_table.filter(
+            ~F.col("term").startswith(TITLE_PREFIX)
+        ).select("term", "df")
+
+    def fuzzy_weights(
+        self, query: str, max_edits: int = 1, max_expansions: int = 50
+    ) -> dict[str, float]:
+        """Merged clause weights for ES-style fuzzy matching: each
+        vocabulary term within levenshtein <= max_edits of a query
+        term is a clause at the Lucene boost 1 - d/min(|q|,|t|),
+        capped per query term at the max_expansions highest-df terms
+        (query/fuzzy.py freezes the semantics).  A term reached from
+        two query terms sums its boosts — algebraically identical to
+        scoring the clauses separately, since contribution is linear
+        in the boost.  The expansion is computed as a DataFrame
+        against the df table (a length-band broadcast hash join, no
+        driver-side vocabulary) and only the <= n_terms *
+        max_expansions surviving rows are collected."""
+        from search_engine_spark.query.fuzzy import fuzzy_expansions
+
+        terms = tokenize_query(query)
+        if not terms:
+            return {}
+        exp = fuzzy_expansions(
+            self._content_vocab(), terms, max_edits, max_expansions
+        )
+        rows = sorted(
+            (int(r["qi"]), r["term"], float(r["boost"]))
+            for r in exp.select("qi", "term", "boost").collect()
+        )
+        # summed in (qi, term) order — the serving twin
+        # (search_local_fuzzy) merges in the same order, so the two
+        # paths' float sums are bit-identical
+        weights: dict[str, float] = {}
+        for _qi, term, boost in rows:
+            weights[term] = weights.get(term, 0.0) + boost
+        return weights
+
+    def prefix_weights(
+        self, prefix: str, max_expansions: int = 50
+    ) -> dict[str, float]:
+        """scoring_boolean prefix rewrite: the max_expansions
+        highest-df vocabulary terms with the prefix, weight 1.0."""
+        from search_engine_spark.query.fuzzy import prefix_expansions
+
+        exp = prefix_expansions(self._content_vocab(), prefix, max_expansions)
+        return {r["term"]: 1.0 for r in exp.select("term").collect()}
+
+    def search_fuzzy(
+        self,
+        query: str,
+        k: int = 10,
+        max_edits: int = 1,
+        max_expansions: int = 50,
+    ) -> DataFrame:
+        """ES `match` with fuzziness through the real index path."""
+        return self._search_weights(
+            self.fuzzy_weights(query, max_edits, max_expansions), k
+        )
+
+    def search_prefix(
+        self, prefix: str, k: int = 10, max_expansions: int = 50
+    ) -> DataFrame:
+        """ES `prefix` query (scoring_boolean rewrite) through the
+        real index path."""
+        return self._search_weights(
+            self.prefix_weights(prefix, max_expansions), k
+        )
 
     def search_fields(
         self, query: str, k: int = 10, expand: bool = False,
@@ -1051,12 +1137,24 @@ class SearchEngine:
         round-trips.  At 100 TB a serving tier would run many of
         these heads against the same segment store.
         """
+        terms = tokenize_query(query)
+        if not terms:
+            return []
+        return self._search_local_weights({t: 1.0 for t in terms}, k)
+
+    def _search_local_weights(
+        self, weights: dict[str, float], k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Weighted-clause serving core (no Spark job): per-term
+        contribution = w_t * idf_t * tfn.  ``search_local`` is the
+        all-weights-1.0 case; search_local_fuzzy / search_local_prefix
+        feed expansion weights."""
         import math as _math
 
         from search_engine_spark.indexer.codec import TermChunk
         from search_engine_spark.query.wand import slab_topk
 
-        terms = tokenize_query(query)
+        terms = list(weights)
         if not terms:
             return []
         m = self.meta
@@ -1070,7 +1168,8 @@ class SearchEngine:
             return []
         n, df_map = float(m["n_docs"]), self._local_df(terms)
         idf = {
-            t: _math.log(1.0 + (n - df_map[t] + 0.5) / (df_map[t] + 0.5))
+            t: weights[t]
+            * _math.log(1.0 + (n - df_map[t] + 0.5) / (df_map[t] + 0.5))
             for t in terms
             if t in df_map
         }
@@ -1134,6 +1233,70 @@ class SearchEngine:
         res = self.search_local(query, k)
         self._result_cache.put(key, tuple(res), ttl_sec)
         return res
+
+    def _local_vocab_df(self) -> dict[str, int]:
+        """Full content-namespace {term: df} for the serving head's
+        fuzzy/prefix expansion — the pyarrow analog of Lucene walking
+        its term dictionary (FST).  One pass over the df table per
+        engine generation; the df table is vocabulary-sized (not
+        corpus-sized), the same data did_you_mean already slices."""
+        if self._local_vocab is None:
+            import pyarrow.dataset as ds
+
+            from search_engine_spark.config import TITLE_PREFIX
+
+            tab = ds.dataset(f"{self.index_dir}/df").to_table(
+                columns=["term", "df"]
+            )
+            self._local_vocab = {
+                t: int(d)
+                for t, d in zip(
+                    tab.column("term").to_pylist(),
+                    tab.column("df").to_pylist(),
+                )
+                if not t.startswith(TITLE_PREFIX)
+            }
+        return self._local_vocab
+
+    def search_local_fuzzy(
+        self,
+        query: str,
+        k: int = 10,
+        max_edits: int = 1,
+        max_expansions: int = 50,
+    ) -> list[tuple[int, float]]:
+        """Serving twin of search_fuzzy — rank/score-identical by
+        construction (same cap/order/boost via query/fuzzy.py's local
+        twin, boosts merged in the same (qi, term) order)."""
+        from search_engine_spark.query.fuzzy import fuzzy_expand_local
+
+        terms = tokenize_query(query)
+        if not terms:
+            return []
+        rows = sorted(
+            (qi, term, boost)
+            for qi, _qt, term, boost in fuzzy_expand_local(
+                self._local_vocab_df(), terms, max_edits, max_expansions
+            )
+        )
+        weights: dict[str, float] = {}
+        for _qi, term, boost in rows:
+            weights[term] = weights.get(term, 0.0) + boost
+        return self._search_local_weights(weights, k)
+
+    def search_local_prefix(
+        self, prefix: str, k: int = 10, max_expansions: int = 50
+    ) -> list[tuple[int, float]]:
+        """Serving twin of search_prefix."""
+        from search_engine_spark.query.fuzzy import prefix_expand_local
+
+        weights = {
+            t: 1.0
+            for t in prefix_expand_local(
+                self._local_vocab_df(), prefix, max_expansions
+            )
+        }
+        return self._search_local_weights(weights, k)
 
     def search_local_fields(
         self, query: str, k: int = 10, expand: bool = False

@@ -113,6 +113,69 @@ def bm25_expanded_sql(query: str, k: int = 10) -> str:
     )
 
 
+def bm25_fuzzy_sql(
+    query: str, k: int = 10, max_edits: int = 1, max_expansions: int = 50
+) -> str:
+    """Twin of contract.q_bm25_fuzzy (semantics frozen in
+    query/fuzzy.py): expansion = vocabulary terms within classic
+    Levenshtein <= max_edits (DuckDB's levenshtein() and Spark's
+    F.levenshtein are both the classic metric), capped at
+    max_expansions per query term by df desc / term asc, each clause
+    boosted 1 - d/min(|q|,|t|)."""
+    terms = tokenize_query(query)
+    if not terms:
+        return "SELECT CAST(NULL AS BIGINT) AS docid, CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+    vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(terms))
+    return (
+        "WITH " + postings_cte() + ", "
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, "
+        "avg(doclen) AS avgdl FROM tl), "
+        "vocab AS (SELECT term, CAST(count(*) AS DOUBLE) AS df "
+        "FROM postings GROUP BY term), "
+        f"qts(qi, qt) AS (SELECT * FROM (VALUES {vals})), "
+        "exp AS (SELECT qi, v.term, v.df, "
+        "1.0 - CAST(levenshtein(qt, v.term) AS DOUBLE) / "
+        "least(length(qt), length(v.term)) AS boost "
+        "FROM vocab v JOIN qts "
+        f"ON abs(length(v.term) - length(qt)) <= {max_edits} "
+        f"WHERE levenshtein(qt, v.term) <= {max_edits} "
+        "QUALIFY row_number() OVER "
+        f"(PARTITION BY qi ORDER BY v.df DESC, v.term ASC) <= {max_expansions}), "
+        "scored AS (SELECT p.docid, "
+        "SUM(e.boost * ln(1.0 + (s.n_docs - e.df + 0.5) / (e.df + 0.5)) * "
+        f"(p.tf * ({BM25_K1} + 1.0) / (p.tf + {BM25_K1} * "
+        f"(1.0 - {BM25_B} + {BM25_B} * p.doclen / s.avgdl)))) AS raw "
+        "FROM postings p JOIN exp e ON p.term = e.term CROSS JOIN stats s "
+        "GROUP BY p.docid) "
+        "SELECT docid, ROUND(raw, 4) AS score FROM scored "
+        f"ORDER BY raw DESC, docid LIMIT {k}"
+    )
+
+
+def bm25_prefix_sql(prefix: str, k: int = 10, max_expansions: int = 50) -> str:
+    """Twin of contract.q_bm25_prefix: scoring_boolean over the
+    max_expansions highest-df vocabulary terms with the prefix."""
+    return (
+        "WITH " + postings_cte() + ", "
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, "
+        "avg(doclen) AS avgdl FROM tl), "
+        "vocab AS (SELECT term, CAST(count(*) AS DOUBLE) AS df "
+        "FROM postings GROUP BY term), "
+        f"exp AS (SELECT term, df FROM vocab "
+        f"WHERE starts_with(term, '{prefix}') "
+        "QUALIFY row_number() OVER "
+        f"(ORDER BY df DESC, term ASC) <= {max_expansions}), "
+        "scored AS (SELECT p.docid, "
+        "SUM(1.0 * ln(1.0 + (s.n_docs - e.df + 0.5) / (e.df + 0.5)) * "
+        f"(p.tf * ({BM25_K1} + 1.0) / (p.tf + {BM25_K1} * "
+        f"(1.0 - {BM25_B} + {BM25_B} * p.doclen / s.avgdl)))) AS raw "
+        "FROM postings p JOIN exp e ON p.term = e.term CROSS JOIN stats s "
+        "GROUP BY p.docid) "
+        "SELECT docid, ROUND(raw, 4) AS score FROM scored "
+        f"ORDER BY raw DESC, docid LIMIT {k}"
+    )
+
+
 def bm25_dedup_topk_sql(query: str, k: int = 10) -> str:
     """BM25 top-k over the sha256-deduped survivor set — the oracle
     twin of the engine's real index path (dedup -> segments -> WAND)."""
