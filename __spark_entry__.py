@@ -242,6 +242,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_phrase_ix_q1"] = partial(
         C.q_bm25_phrase_indexed, phrase=PHRASE_QUERIES["bm25_phrase_q1"], k=10
     )
+    # engine-path fuzzy (expansion resolved against the real index's
+    # df table, boosts folded into WAND idf) — sweep tail; the scan
+    # form bm25_fuzzy_q1 gates the expansion semantics in-window
+    q["bm25_fuzzy_wand_q1"] = partial(
+        C.q_bm25_fuzzy_wand, query=FUZZY_QUERY, k=10
+    )
     # round-5 fuzzy/prefix need two window slots: bm25_full_q3 joins
     # the tail (its bare BEST_FIELDS + pagerank computation is a
     # strict subset of bm25_full_q1's, which stays gated) and
@@ -286,6 +292,7 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_phrase_q2"] = O.bm25_phrase_sql(PHRASE_QUERIES["bm25_phrase_q2"], 10)
     o["bm25_phrase_ix_q2"] = O.bm25_phrase_sql(PHRASE_QUERIES["bm25_phrase_q2"], 10)
     o["bm25_fuzzy_q1"] = O.bm25_fuzzy_sql(FUZZY_QUERY, 10)
+    o["bm25_fuzzy_wand_q1"] = O.bm25_fuzzy_sql(FUZZY_QUERY, 10, dedup=True)
     o["bm25_prefix_q1"] = O.bm25_prefix_sql(PREFIX_QUERY, 10)
     # the cache returns the engine result verbatim, so its oracle IS
     # the plain dedup BM25 twin — any cache-layer mutation shows up

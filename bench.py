@@ -180,6 +180,26 @@ def main() -> None:
         eng.search_phrase_local(p, 10)
     queries["phrase_serving_6q"] = round(time.time() - t0, 3)
 
+    # --- 2f. fuzzy + prefix retrieval (scoring_boolean expansion):
+    # one Spark-path query each + the serving twins over a 6-query
+    # typo set (each expands 1-11 vocabulary terms) ---
+    t0 = time.time()
+    eng.search_fuzzy("qery parse", 10).collect()
+    queries["fuzzy_q"] = round(time.time() - t0, 3)
+    fuzzy_set = (
+        "qery parse", "pyton handler", "crawl buffer",
+        "jav servic", "tokn merg", "util config",
+    )
+    eng.search_local_fuzzy("java", 10)  # warm the vocab map
+    t0 = time.time()
+    for q in fuzzy_set:
+        eng.search_local_fuzzy(q, 10)
+    queries["fuzzy_serving_6q"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    for p in ("crawl", "get", "pars", "ind", "q", "zz"):
+        eng.search_local_prefix(p, 10)
+    queries["prefix_serving_6q"] = round(time.time() - t0, 3)
+
     # --- 3. batch throughput ---
     batch = {}
     for rep in range(4):

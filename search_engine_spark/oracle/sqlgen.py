@@ -113,21 +113,42 @@ def bm25_expanded_sql(query: str, k: int = 10) -> str:
     )
 
 
+def dedup_postings_cte() -> str:
+    """postings_cte over the sha256-deduped survivor set — the corpus
+    the real index path (contract._wand_index) sees."""
+    return (
+        "surv AS (SELECT doc_id, text FROM documents "
+        "QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1), "
+        "toks AS (SELECT doc_id AS docid, "
+        f"{duckdb_tokens_sql('text')} AS toks FROM surv), "
+        "tl AS (SELECT docid, toks, len(toks) AS doclen FROM toks), "
+        "exploded AS (SELECT docid, doclen, unnest(toks) AS term FROM tl), "
+        "postings AS (SELECT term, docid, CAST(count(*) AS INT) AS tf, "
+        "doclen FROM exploded GROUP BY term, docid, doclen)"
+    )
+
+
 def bm25_fuzzy_sql(
-    query: str, k: int = 10, max_edits: int = 1, max_expansions: int = 50
+    query: str,
+    k: int = 10,
+    max_edits: int = 1,
+    max_expansions: int = 50,
+    dedup: bool = False,
 ) -> str:
     """Twin of contract.q_bm25_fuzzy (semantics frozen in
     query/fuzzy.py): expansion = vocabulary terms within classic
     Levenshtein <= max_edits (DuckDB's levenshtein() and Spark's
     F.levenshtein are both the classic metric), capped at
     max_expansions per query term by df desc / term asc, each clause
-    boosted 1 - d/min(|q|,|t|)."""
+    boosted 1 - d/min(|q|,|t|).  ``dedup=True`` twins the real index
+    path (contract.q_bm25_fuzzy_wand): corpus AND expansion
+    vocabulary come from the sha-deduped survivor set."""
     terms = tokenize_query(query)
     if not terms:
         return "SELECT CAST(NULL AS BIGINT) AS docid, CAST(NULL AS DOUBLE) AS score WHERE 1=0"
     vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(terms))
     return (
-        "WITH " + postings_cte() + ", "
+        "WITH " + (dedup_postings_cte() if dedup else postings_cte()) + ", "
         "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, "
         "avg(doclen) AS avgdl FROM tl), "
         "vocab AS (SELECT term, CAST(count(*) AS DOUBLE) AS df "
