@@ -211,6 +211,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sample_stratified": CO.q_sample_stratified,
             "dup_span_ranges": CO.q_dup_span_ranges,
             "lm_score": CO.q_lm_score,
+            # deterministic distributed sketches (r5): constant-
+            # shuffle cardinality / frequency at 100 TB
+            "hll_vocab": CO.q_hll_vocab,
+            "cms_term_freq": CO.q_cms_term_freq,
         }
     )
     # Gate ordering (round 5): the driver records only the FIRST 50
@@ -340,6 +344,8 @@ def oracle_sql() -> dict[str, str]:
             "sample_stratified": OO.sample_stratified_sql(),
             "dup_span_ranges": OO.dup_span_ranges_sql(),
             "lm_score": OO.lm_score_sql(),
+            "hll_vocab": OO.hll_vocab_sql(),
+            "cms_term_freq": OO.cms_term_freq_sql(),
         }
     )
     return o

@@ -819,3 +819,49 @@ def q_lm_score(spark, sf_dir) -> DataFrame:
 
     toks = documents_tokenized(spark, sf_dir).select("docid", "toks")
     return lm_score(toks).orderBy("docid")
+
+
+def q_hll_vocab(spark, sf_dir) -> DataFrame:
+    """Deterministic HyperLogLog vocabulary-size estimate per source
+    (ops/sketches.py): md5-prefix registers, integer harmonic sum —
+    the constant-shuffle answer to count(distinct term) at 100 TB.
+    The DuckDB twin recomputes the registers and the fixed-order
+    estimate expression hash-exactly."""
+    from search_engine_spark.contract import load
+    from search_engine_spark.ops.sketches import hll_cardinality
+
+    toks = documents_tokenized(spark, sf_dir).select("docid", "toks")
+    src = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("docid"),
+        F.col("source").alias("src"),
+    )
+    items = (
+        toks.join(src, "docid")
+        .select("src", F.explode("toks").alias("term"))
+    )
+    return hll_cardinality(items, "term", ["src"]).orderBy("src")
+
+
+CMS_PROBES = [
+    "data", "hash", "join", "key", "merge", "spark", "table",
+    "zzznosuchterm",
+]
+
+
+def q_cms_term_freq(spark, sf_dir) -> DataFrame:
+    """Count-Min point estimates for a fixed probe set over all token
+    occurrences (ops/sketches.py): depth x width cells bound the
+    shuffle regardless of corpus size; estimates are integers, so the
+    oracle compare is exact (est >= truth, with est = truth whenever
+    one depth row is collision-free)."""
+    from search_engine_spark.ops.sketches import (
+        cms_point_estimates,
+        cms_sketch,
+    )
+
+    items = (
+        documents_tokenized(spark, sf_dir)
+        .select(F.explode("toks").alias("term"))
+    )
+    sk = cms_sketch(items, "term")
+    return cms_point_estimates(sk, CMS_PROBES).orderBy("term")

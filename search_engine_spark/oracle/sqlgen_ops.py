@@ -999,3 +999,75 @@ def lm_score_sql() -> str:
         "FROM toks t LEFT JOIN per ON t.docid = per.docid "
         "ORDER BY t.docid"
     )
+
+
+def hll_vocab_sql() -> str:
+    """Twin of contract_ops.q_hll_vocab: identical 60-bit md5-prefix
+    hash, idx = h % m / w = h >> p register split, rank via
+    length(bin(w)) (minimal-digit semantics match Spark's F.bin),
+    INTEGER harmonic sum 2^(49-rank), and the same fixed-order
+    estimate expression — bit-exact across engines (ops/sketches.py
+    freezes the construction)."""
+    from search_engine_spark.ops.sketches import (
+        HLL_ALPHA_EXPR,
+        HLL_M,
+        HLL_P,
+        HLL_WBITS,
+    )
+    from search_engine_spark.tokenizer import duckdb_tokens_sql
+
+    top = 1 << (HLL_WBITS + 1)
+    r0 = HLL_WBITS + 1
+    return (
+        "WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS docid, source AS src, "
+        f"{duckdb_tokens_sql('text')} AS toks FROM documents), "
+        "it AS (SELECT src, unnest(toks) AS term FROM toks), "
+        "hashed AS (SELECT src, "
+        "('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM it), "
+        f"regs AS (SELECT src, h % {HLL_M} AS idx, "
+        f"max(CASE WHEN (h >> {HLL_P}) = 0 THEN {r0} "
+        f"ELSE {r0} - length(bin(h >> {HLL_P})) END) AS rank "
+        "FROM hashed GROUP BY src, idx), "
+        "agg AS (SELECT src, "
+        f"SUM(CAST(pow(2.0, {r0} - rank) AS BIGINT)) AS isum, "
+        "COUNT(*) AS present FROM regs GROUP BY src), "
+        "est AS (SELECT src, "
+        f"{HLL_ALPHA_EXPR} * {HLL_M}.0 * {HLL_M}.0 / "
+        f"((CAST(isum AS DOUBLE) + CAST({HLL_M} - present AS DOUBLE) * "
+        f"{top}.0) / {top}.0) AS raw, "
+        f"{HLL_M} - present AS zeros FROM agg) "
+        "SELECT src, ROUND(CASE WHEN raw <= 2.5 * "
+        f"{HLL_M} AND zeros > 0 "
+        f"THEN {HLL_M}.0 * ln({HLL_M}.0 / CAST(zeros AS DOUBLE)) "
+        "ELSE raw END, 3) AS est FROM est ORDER BY src"
+    )
+
+
+def cms_term_freq_sql() -> str:
+    """Twin of contract_ops.q_cms_term_freq: same '#cms{j}' salted
+    md5-prefix hashes, depth x width cells, min-over-depth point
+    estimates — integer-exact."""
+    from search_engine_spark.contract_ops import CMS_PROBES
+    from search_engine_spark.ops.sketches import CMS_DEPTH, CMS_WIDTH
+    from search_engine_spark.tokenizer import duckdb_tokens_sql
+
+    probes = ", ".join(f"('{t}')" for t in CMS_PROBES)
+    hash_expr = (
+        "('0x' || substr(md5(term || '#cms' || CAST(j AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {CMS_WIDTH}"
+    )
+    return (
+        "WITH toks AS (SELECT "
+        f"{duckdb_tokens_sql('text')} AS toks FROM documents), "
+        "it AS (SELECT unnest(toks) AS term FROM toks), "
+        f"cells AS (SELECT j, {hash_expr} AS bucket "
+        f"FROM it, range({CMS_DEPTH}) r(j)), "
+        "sk AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM cells GROUP BY j, bucket), "
+        f"probes(term) AS (SELECT * FROM (VALUES {probes})), "
+        f"pj AS (SELECT term, j, {hash_expr} AS bucket "
+        f"FROM probes, range({CMS_DEPTH}) r(j)) "
+        "SELECT pj.term, MIN(COALESCE(sk.cnt, 0)) AS est "
+        "FROM pj LEFT JOIN sk ON pj.j = sk.j AND pj.bucket = sk.bucket "
+        "GROUP BY pj.term ORDER BY pj.term"
+    )
