@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # deterministic distributed sketches (r5): constant-
             # shuffle cardinality / frequency at 100 TB
             "hll_vocab": CO.q_hll_vocab,
+            "hll_vocab_stream": CO.q_hll_vocab_stream,
             "cms_term_freq": CO.q_cms_term_freq,
         }
     )
@@ -345,6 +346,10 @@ def oracle_sql() -> dict[str, str]:
             "dup_span_ranges": OO.dup_span_ranges_sql(),
             "lm_score": OO.lm_score_sql(),
             "hll_vocab": OO.hll_vocab_sql(),
+            # streaming registers == batch registers by construction;
+            # the stream shares the batch twin's oracle (the
+            # sessionize_stream discipline)
+            "hll_vocab_stream": OO.hll_vocab_sql(),
             "cms_term_freq": OO.cms_term_freq_sql(),
         }
     )

@@ -865,3 +865,58 @@ def q_cms_term_freq(spark, sf_dir) -> DataFrame:
     )
     sk = cms_sketch(items, "term")
     return cms_point_estimates(sk, CMS_PROBES).orderBy("term")
+
+
+def q_hll_vocab_stream(spark, sf_dir) -> DataFrame:
+    """Streaming twin of hll_vocab (§2.8 x sketches): the documents
+    table replayed through readStream, HLL registers maintained as a
+    STREAMING groupBy(src, idx).max(rank) — state bounded at
+    |sources| * m rows no matter how long the stream runs, which is
+    precisely the sketch's value on an unbounded ingest.  Complete-
+    mode memory sink; the estimate is computed on the final register
+    table and compared to the same hll_vocab_sql oracle — streaming
+    state vs batch SQL, hash-exact because the construction is
+    deterministic."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from search_engine_spark.ops.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from search_engine_spark.tokenizer import tokens_col
+
+    src_dir = tempfile.mkdtemp(prefix="hll_stream_contract_")
+    try:
+        shutil.copy(
+            os.path.join(sf_dir, "documents.parquet"),
+            os.path.join(src_dir, "part-00000.parquet"),
+        )
+        schema = load(spark, sf_dir, "documents").schema
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        items = stream.select(
+            F.col("source").alias("src"),
+            F.explode(tokens_col("text")).alias("term"),
+        )
+        regs = hll_registers(items, "term", ["src"])
+        sink = "hll_vocab_stream_" + uuid.uuid4().hex[:8]
+        q = (
+            regs.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(600):
+                raise TimeoutError(
+                    "hll_vocab_stream: availableNow replay exceeded "
+                    "600s — refusing to compare a partial register table"
+                )
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+    return hll_estimate(spark.table(sink), ["src"]).orderBy("src")
