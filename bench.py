@@ -224,7 +224,8 @@ def main() -> None:
     # --- 4. sf-dir contract queries ---
     import __spark_entry__ as E
 
-    for name in ["term_counts", "bm25_q1", "bm25_wand_q1", "exact_dedup"]:
+    for name in ["term_counts", "bm25_q1", "bm25_wand_q1", "exact_dedup",
+                 "hll_vocab", "cms_term_freq"]:
         t0 = time.time()
         E.queries()[name](spark, sf_dir).count()
         queries[name] = round(time.time() - t0, 3)

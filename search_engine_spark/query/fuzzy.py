@@ -97,12 +97,15 @@ def prefix_expansions(
     prefix: str,
     max_expansions: int = DEFAULT_MAX_EXPANSIONS,
 ) -> DataFrame:
-    """(term, boost, df) — capped prefix expansion table."""
-    w = Window.orderBy(F.desc("df"), F.asc("term"))
+    """(term, boost, df) — capped prefix expansion table.
+
+    orderBy + limit (a distributed TakeOrdered), NOT a global
+    row_number window — an unpartitioned window would funnel every
+    prefix-matching vocabulary term through one task."""
     return (
         vocab.filter(F.col("term").startswith(prefix))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= max_expansions)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
         .withColumn("boost", F.lit(1.0))
         .select("term", "boost", "df")
     )
