@@ -197,14 +197,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "codec_roundtrip": CO.q_codec_roundtrip,
             "chunk_documents": CO.q_chunk_documents,
             "pack_examples": CO.q_pack_examples,
-            # dup_spans is entry #50 — the last slot inside the
-            # driver's window, freed by demoting ann_ivf (whose
-            # oracle ann_ivf_indexed shares byte-for-byte)
+            # dup_spans + hll_vocab close the driver window (slots
+            # 49-50): dup_spans' slot was freed by demoting ann_ivf
+            # (whose oracle ann_ivf_indexed shares byte-for-byte),
+            # hll_vocab's by demoting bm25_expanded_q2 (a second data
+            # point on the SO3 expansion machinery bm25_expanded_q1
+            # gates) — this gives the sketch family a driver gate
             "dup_spans": CO.q_dup_spans,
+            "hll_vocab": CO.q_hll_vocab,
             # positions 51+ sit outside the driver's 50-row window by
-            # design — nothing gated is redundant enough to demote;
-            # they are verified by the all-scale sweep like the
-            # parked tail
+            # design — every remaining gated entry covers a distinct
+            # code path; these are verified by the all-scale sweep
+            # like the parked tail
             "scrub_pii": CO.q_scrub_pii,
             "decontaminate": CO.q_decontaminate,
             "gopher_quality": CO.q_gopher_quality,
@@ -212,8 +216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dup_span_ranges": CO.q_dup_span_ranges,
             "lm_score": CO.q_lm_score,
             # deterministic distributed sketches (r5): constant-
-            # shuffle cardinality / frequency at 100 TB
-            "hll_vocab": CO.q_hll_vocab,
+            # shuffle cardinality / frequency at 100 TB; hll_vocab
+            # itself is gated in-window above
             "hll_vocab_stream": CO.q_hll_vocab_stream,
             "cms_term_freq": CO.q_cms_term_freq,
         }
@@ -261,7 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for tail in ("bm25_q2", "bm25_q3", "bm25_q4", "ann_sign_lsh",
                  "ann_ivf", "bm25_and_q2", "simhash_fp", "minhash_sig",
                  "bm25_wand_q2", "bm25_full_q2", "bm25_full_q3",
-                 "bm25_fields_q1"):
+                 "bm25_fields_q1", "bm25_expanded_q2"):
         q[tail] = q.pop(tail)
     return q
 
