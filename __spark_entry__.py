@@ -56,6 +56,13 @@ AND_QUERIES = {
     "bm25_and_q2": "table scan",
 }
 
+# Exclusion retrieval (ES bool.must_not) through the real index path:
+# disjunctive WAND over the scored terms minus docs containing any
+# excluded term ("table" is a hot corpus term, so the exclusion
+# demonstrably reshapes the top-k); oracle twin anti-joins the
+# exploded token stream.
+NOT_QUERY = ("key order merge scan", "table")
+
 # Field-weighted BM25 (title^3/content^1; with expansion the synonym
 # clauses score title^2/content^0.8) — the reference's intended query
 # (docs/features/query-expansion-nlp.md:260-275) through the real
@@ -257,6 +264,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_fuzzy_wand_q1"] = partial(
         C.q_bm25_fuzzy_wand, query=FUZZY_QUERY, k=10
     )
+    # bool.must_not exclusion retrieval (sweep tail — the window is
+    # full of distinct code paths; the all-scale sweep hash-gates it)
+    q["bm25_not_q1"] = partial(
+        C.q_bm25_not, query=NOT_QUERY[0], exclude=NOT_QUERY[1], k=10
+    )
     # round-5 fuzzy/prefix need two window slots: bm25_full_q3 joins
     # the tail (its bare BEST_FIELDS + pagerank computation is a
     # strict subset of bm25_full_q1's, which stays gated) and
@@ -302,6 +314,7 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_phrase_ix_q2"] = O.bm25_phrase_sql(PHRASE_QUERIES["bm25_phrase_q2"], 10)
     o["bm25_fuzzy_q1"] = O.bm25_fuzzy_sql(FUZZY_QUERY, 10)
     o["bm25_fuzzy_wand_q1"] = O.bm25_fuzzy_sql(FUZZY_QUERY, 10, dedup=True)
+    o["bm25_not_q1"] = O.bm25_not_sql(NOT_QUERY[0], NOT_QUERY[1], 10)
     o["bm25_prefix_q1"] = O.bm25_prefix_sql(PREFIX_QUERY, 10)
     # the cache returns the engine result verbatim, so its oracle IS
     # the plain dedup BM25 twin — any cache-layer mutation shows up

@@ -201,6 +201,7 @@ class SearchEngine:
         expand: bool = False,
         mode: str = "or",
         intent: bool = False,
+        exclude: str | None = None,
     ) -> DataFrame:
         """Top-k (docid, score) via per-slab block-max WAND.
 
@@ -218,6 +219,12 @@ class SearchEngine:
         ``intent=True`` applies the reference's rule-based intent
         classifier (query/intent.py): a TUTORIAL-intent query gains
         the spec's extra should-terms at weight 1.0.
+
+        ``exclude`` is ES bool.must_not: documents containing ANY of
+        its (tokenized) terms are dropped from the result.  Exclusion
+        chunks ride the same per-slab groups as the scored terms
+        (NULL-idf rows), so must_not costs one extra pruned segment
+        scan and no extra shuffle.
         """
         if expand:
             from search_engine_spark.query.expansion import expand_query
@@ -230,14 +237,23 @@ class SearchEngine:
 
             for t, w in intent_extra_weights(query).items():
                 weights.setdefault(t, w)
-        return self._search_weights(weights, k, mode=mode)
+        exclude_terms = tokenize_query(exclude) if exclude else None
+        return self._search_weights(
+            weights, k, mode=mode, exclude_terms=exclude_terms
+        )
 
     def _search_weights(
-        self, weights: dict[str, float], k: int = 10, mode: str = "or"
+        self,
+        weights: dict[str, float],
+        k: int = 10,
+        mode: str = "or",
+        exclude_terms: list[str] | None = None,
     ) -> DataFrame:
         """Weighted-clause WAND core shared by search / search_fuzzy /
         search_prefix: per-term contribution = w_t * idf_t * tfn (the
-        weight folds into idf, so pruning bounds remain exact)."""
+        weight folds into idf, so pruning bounds remain exact).
+        ``exclude_terms`` (bool.must_not) join as NULL-idf rows the
+        scorer decodes into per-slab exclusion sets."""
         terms = list(weights)
         if not terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
@@ -252,6 +268,14 @@ class SearchEngine:
             )
             idfs = idfs.withColumn("idf", F.col("idf") * wmap[F.col("term")])
         seg = seg.join(F.broadcast(idfs), "term")
+        if exclude_terms:
+            neg = (
+                self._pruned_segments(exclude_terms)
+                .select("slab", "term", "postings", "skips", "block_max")
+                .withColumn("idf", F.lit(None).cast("double"))
+                .select(*seg.columns)
+            )
+            seg = seg.unionByName(neg)
         bound_scale = max(1.0, float(m["avgdl"]) / float(m["norm_avgdl"]))
         scorer = make_slab_scorer(
             int(m["slab_size"]),
@@ -1124,7 +1148,9 @@ class SearchEngine:
             results.extend(zip(ids.tolist(), sc.tolist()))
         return results
 
-    def search_local(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def search_local(
+        self, query: str, k: int = 10, exclude: str | None = None
+    ) -> list[tuple[int, float]]:
         """Serving-path top-k: NO Spark job — pyarrow pruned read of
         the term/bucket segment files + the same numpy block-max WAND
         kernel, per slab, merged on the driver.
@@ -1140,15 +1166,25 @@ class SearchEngine:
         terms = tokenize_query(query)
         if not terms:
             return []
-        return self._search_local_weights({t: 1.0 for t in terms}, k)
+        exclude_terms = tokenize_query(exclude) if exclude else None
+        return self._search_local_weights(
+            {t: 1.0 for t in terms}, k, exclude_terms=exclude_terms
+        )
 
     def _search_local_weights(
-        self, weights: dict[str, float], k: int = 10
+        self,
+        weights: dict[str, float],
+        k: int = 10,
+        exclude_terms: list[str] | None = None,
     ) -> list[tuple[int, float]]:
         """Weighted-clause serving core (no Spark job): per-term
         contribution = w_t * idf_t * tfn.  ``search_local`` is the
         all-weights-1.0 case; search_local_fuzzy / search_local_prefix
-        feed expansion weights."""
+        feed expansion weights.  ``exclude_terms`` (bool.must_not)
+        reads the excluded terms' chunks through the same pruned
+        pyarrow path and drops their docids per slab before the top-k
+        (the fused dense path is bypassed — exclusion queries take the
+        per-slab kernels, which accept an exclusion set)."""
         import math as _math
 
         from search_engine_spark.indexer.codec import TermChunk
@@ -1178,9 +1214,34 @@ class SearchEngine:
             if t in idf:
                 for r in rows_t:
                     by_slab.setdefault(int(r["slab"]), []).append(r)
-        fused = self._fused_dense(by_term, by_slab, idf, k)
-        if fused is not None:
-            return fused
+        excl_by_slab: dict[int, "np.ndarray"] = {}
+        if exclude_terms:
+            import numpy as np
+
+            ex_rows = self._local_term_rows(
+                [t for t in dict.fromkeys(exclude_terms)]
+            )
+            parts: dict[int, list] = {}
+            for rows_t in ex_rows.values():
+                for r in rows_t:
+                    slab = int(r["slab"])
+                    if slab not in by_slab:
+                        continue  # no scored candidates there anyway
+                    c = r.get("_chunk") or TermChunk(
+                        r["postings"], r["skips"], r["block_max"]
+                    )
+                    local, _tf, _dl = c.decode_blocks(
+                        np.arange(c.n_blocks, dtype=np.int64),
+                        int(m["block_size"]),
+                    )
+                    parts.setdefault(slab, []).append(local)
+            excl_by_slab = {
+                s: np.unique(np.concatenate(ps)) for s, ps in parts.items()
+            }
+        if not exclude_terms:
+            fused = self._fused_dense(by_term, by_slab, idf, k)
+            if fused is not None:
+                return fused
         bound_scale = max(1.0, float(m["avgdl"]) / float(m["norm_avgdl"]))
 
         def score_one(slab: int, rs: list):
@@ -1202,6 +1263,7 @@ class SearchEngine:
                 float(m["b"]),
                 float(m["avgdl"]),
                 bound_scale,
+                exclude=excl_by_slab.get(slab),
             )
 
         results = self._run_slabs(by_slab, score_one)

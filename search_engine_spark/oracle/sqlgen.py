@@ -228,6 +228,47 @@ def bm25_dedup_topk_sql(query: str, k: int = 10) -> str:
     )
 
 
+def bm25_not_sql(query: str, exclude: str, k: int = 10) -> str:
+    """Exclusion (ES bool.must_not) twin of contract.q_bm25_not: the
+    dedup-aware disjunctive BM25 scorer minus every document that
+    contains ANY excluded term (anti-semi-join on the exploded token
+    stream)."""
+    terms = tokenize_query(query)
+    nterms = tokenize_query(exclude)
+    if not terms:
+        return "SELECT CAST(NULL AS BIGINT) AS docid, CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+    if not nterms:
+        return bm25_dedup_topk_sql(query, k)
+    terms_in = ", ".join(f"'{t}'" for t in terms)
+    nterms_in = ", ".join(f"'{t}'" for t in nterms)
+    return (
+        "WITH surv AS (SELECT doc_id, text FROM documents "
+        "QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1), "
+        "toks AS (SELECT doc_id AS docid, "
+        f"{duckdb_tokens_sql('text')} AS toks FROM surv), "
+        "tl AS (SELECT docid, toks, len(toks) AS doclen FROM toks), "
+        "exploded AS (SELECT docid, doclen, unnest(toks) AS term FROM tl), "
+        "postings AS (SELECT term, docid, CAST(count(*) AS INT) AS tf, "
+        "doclen FROM exploded GROUP BY term, docid, doclen), "
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, "
+        "avg(doclen) AS avgdl FROM tl), "
+        "dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings "
+        f"WHERE term IN ({terms_in}) GROUP BY term), "
+        "excl AS (SELECT DISTINCT docid FROM postings "
+        f"WHERE term IN ({nterms_in})), "
+        "scored AS (SELECT p.docid, "
+        "SUM(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * "
+        f"(p.tf * ({BM25_K1} + 1.0) / (p.tf + {BM25_K1} * "
+        f"(1.0 - {BM25_B} + {BM25_B} * p.doclen / s.avgdl)))) AS raw "
+        "FROM postings p JOIN dfs d ON p.term = d.term CROSS JOIN stats s "
+        f"WHERE p.term IN ({terms_in}) "
+        "AND p.docid NOT IN (SELECT docid FROM excl) "
+        "GROUP BY p.docid) "
+        "SELECT docid, ROUND(raw, 4) AS score FROM scored "
+        f"ORDER BY raw DESC, docid LIMIT {k}"
+    )
+
+
 def bm25_and_sql(query: str, k: int = 10) -> str:
     """Conjunctive (ES bool.must / SURVEY J4) twin of q_bm25_and:
     the dedup-aware BM25 scorer restricted to docs containing EVERY

@@ -38,6 +38,19 @@ def _blocks_in(block_ids: np.ndarray, sorted_batch: np.ndarray) -> np.ndarray:
     return pos[block_ids[pos] == sorted_batch]
 
 
+def _not_in_sorted(values: np.ndarray, excl: np.ndarray) -> np.ndarray:
+    """Boolean mask over ``values``: True where the value is NOT in
+    ``excl`` (sorted ascending, unique) — searchsorted membership, the
+    bool.must_not filter applied before candidates enter a top-k heap.
+    Removing docs can only lower achievable scores, so block-max
+    pruning bounds (computed over ALL docs) remain sound."""
+    if len(excl) == 0:
+        return np.ones(len(values), dtype=bool)
+    pos = np.searchsorted(excl, values)
+    pos[pos >= len(excl)] = len(excl) - 1
+    return excl[pos] != values
+
+
 def _topk_select(ids, sc, k):
     """Exact (score desc, docid asc) top-k with boundary-tie keep:
     threshold at the kth-largest score, keep ties, lexsort the small
@@ -60,13 +73,16 @@ def _exhaustive_topk(
     k1: float,
     b: float,
     n_required: int = 0,
+    exclude: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Term-at-a-time exhaustive scorer for dense queries (see the
     dispatch in ``slab_topk``): full-decode every chunk once, one
     fancy-index add per chunk, single top-k selection at the end.
     Same contribution order per doc as the batch path -> bit-identical
     scores; the final (score desc, docid asc) selection keeps boundary
-    ties exactly like the batch path's lexsort."""
+    ties exactly like the batch path's lexsort.  ``exclude`` (sorted
+    unique slab-local docids) drops bool.must_not documents before
+    the top-k selection."""
     scores = np.zeros(slab_size, dtype=np.float64)
     counts = np.zeros(slab_size, dtype=np.int32) if n_required else None
     for c, idf, c_avgdl, _b in chunks:
@@ -79,6 +95,8 @@ def _exhaustive_topk(
         if counts is None
         else (scores > 0.0) & (counts >= n_required)
     )
+    if exclude is not None:
+        ids = ids[_not_in_sorted(ids, exclude)]
     sc = scores[ids]
     ids, sc = _topk_select(ids, sc, k)
     return ids + slab_base, sc
@@ -137,6 +155,7 @@ def slab_topk(
     bound_scale: float = 1.0,
     batch_blocks: int = 64,
     n_required: int = 0,
+    exclude: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k of one slab.
 
@@ -153,6 +172,12 @@ def slab_topk(
     single-field queries because a doc lives in exactly one generation.
     The OR-semantics block upper bound remains a valid (looser) bound
     for the conjunctive scores, so pruning stays exact.
+
+    ``exclude`` (sorted unique slab-local docids) enables bool.must_not:
+    excluded documents are dropped from every batch's candidate set
+    before they can enter the running top-k, so theta only ever rises
+    from admissible documents and pruning against the OR bound remains
+    exact for the included set.
     """
     chunks = [
         (c[0], c[1], avgdl, bound_scale) if len(c) == 2 else c
@@ -177,7 +202,7 @@ def slab_topk(
     ):
         return _exhaustive_topk(
             chunks, slab_base, slab_size, block_size, k, k1, b,
-            n_required,
+            n_required, exclude,
         )
     ub = np.zeros(n_grid, dtype=np.float64)
     for c, idf, _a, bscale in chunks:
@@ -234,6 +259,15 @@ def slab_topk(
         if cand[-1] >= slab_size:
             cand = cand[cand < slab_size]
         touched = cand[scores[cand] > 0.0]
+        if exclude is not None and len(touched):
+            # reset excluded docs' buffers too (they were scored),
+            # then drop them before the top-k sees them
+            keep_m = _not_in_sorted(touched, exclude)
+            drop = touched[~keep_m]
+            if counts is not None:
+                counts[drop] = 0
+            scores[drop] = 0.0
+            touched = touched[keep_m]
         cand_scores = scores[touched]
         scores[touched] = 0.0  # reset buffer for next batch
         if counts is not None:
@@ -624,20 +658,43 @@ def make_slab_scorer(
     optional per-row ``avgdl``/``bscale`` columns for field-weighted
     scoring (each field's chunks carry that field's stats).
     Output: that slab's top-k (docid, score).
+
+    Rows with a NULL ``idf`` are bool.must_not exclusion chunks: their
+    docids are decoded into a sorted exclusion set for this slab (they
+    contribute no score), and matching documents are dropped before
+    the top-k — the exclusion rides the SAME (slab) group as the
+    positive terms, so must_not adds no extra shuffle.
     """
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         slab = int(pdf["slab"].iloc[0])
         per_field = "avgdl" in pdf.columns
-        chunks = [
-            (
-                TermChunk(r.postings, r.skips, r.block_max),
-                float(r.idf),
-                float(r.avgdl) if per_field else avgdl,
-                float(r.bscale) if per_field else bound_scale,
+        chunks = []
+        excl_parts = []
+        for r in pdf.itertuples():
+            if pd.isna(r.idf):
+                c = TermChunk(r.postings, r.skips, r.block_max)
+                local, _tf, _dl = c.decode_blocks(
+                    np.arange(c.n_blocks, dtype=np.int64), block_size
+                )
+                excl_parts.append(local)
+                continue
+            chunks.append(
+                (
+                    TermChunk(r.postings, r.skips, r.block_max),
+                    float(r.idf),
+                    float(r.avgdl) if per_field else avgdl,
+                    float(r.bscale) if per_field else bound_scale,
+                )
             )
-            for r in pdf.itertuples()
-        ]
+        if not chunks:
+            return pd.DataFrame(
+                {"docid": np.zeros(0, np.int64),
+                 "score": np.zeros(0, np.float64)}
+            )
+        exclude = (
+            np.unique(np.concatenate(excl_parts)) if excl_parts else None
+        )
         ids, sc = slab_topk(
             chunks,
             slab * slab_size,
@@ -649,6 +706,7 @@ def make_slab_scorer(
             avgdl,
             bound_scale,
             n_required=n_required,
+            exclude=exclude,
         )
         return pd.DataFrame({"docid": ids, "score": sc})
 

@@ -103,6 +103,23 @@ class OracleIndex:
         ]
         return keep[:k]
 
+    def search_not(
+        self, query: str, exclude: str, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Exclusion (bool.must_not): disjunctive scoring minus docs
+        containing ANY excluded term."""
+        terms = tokenize_query(query)
+        nterms = tokenize_query(exclude)
+        if not terms:
+            return []
+        ranked = self.search_weighted({t: 1.0 for t in terms}, 10**9)
+        keep = [
+            (d, s)
+            for d, s in ranked
+            if not any(d in self.postings.get(t, {}) for t in nterms)
+        ]
+        return keep[:k]
+
     def search_fields(
         self, fw: list[tuple], k: int = 10
     ) -> list[tuple[int, float]]:
