@@ -123,6 +123,15 @@ PHRASE_QUERIES = {
     "bm25_phrase_q2": "spark table hash",
 }
 
+# In-order proximity (SpanNearQuery inOrder=true analog; slop = max
+# total gap in the greedy chain — query/phrase.near_tf_col).  Same
+# phrases as the exact entries so the slop semantics demonstrably
+# fire: the slop>0 results differ from bm25_phrase_q1/q2's.
+NEAR_QUERIES = {
+    "bm25_near_q1": ("table hash", 1),
+    "bm25_near_q2": ("spark table hash", 2),
+}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
@@ -269,6 +278,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_not_q1"] = partial(
         C.q_bm25_not, query=NOT_QUERY[0], exclude=NOT_QUERY[1], k=10
     )
+    # in-order proximity retrieval (sweep tail, same rationale)
+    for name, (ph, slop) in NEAR_QUERIES.items():
+        q[name] = partial(C.q_bm25_near, phrase=ph, slop=slop, k=10)
     # round-5 fuzzy/prefix need two window slots: bm25_full_q3 joins
     # the tail (its bare BEST_FIELDS + pagerank computation is a
     # strict subset of bm25_full_q1's, which stays gated) and
@@ -315,6 +327,8 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_fuzzy_q1"] = O.bm25_fuzzy_sql(FUZZY_QUERY, 10)
     o["bm25_fuzzy_wand_q1"] = O.bm25_fuzzy_sql(FUZZY_QUERY, 10, dedup=True)
     o["bm25_not_q1"] = O.bm25_not_sql(NOT_QUERY[0], NOT_QUERY[1], 10)
+    for name, (ph, slop) in NEAR_QUERIES.items():
+        o[name] = O.bm25_near_sql(ph, slop, 10)
     o["bm25_prefix_q1"] = O.bm25_prefix_sql(PREFIX_QUERY, 10)
     # the cache returns the engine result verbatim, so its oracle IS
     # the plain dedup BM25 twin — any cache-layer mutation shows up

@@ -1666,10 +1666,16 @@ class SearchEngine:
                 "Lucene merges rewriting .pos)"
             )
 
-    def search_phrase(self, phrase: str, k: int = 10) -> DataFrame:
+    def search_phrase(
+        self, phrase: str, k: int = 10, slop: int = 0
+    ) -> DataFrame:
         """ES match_phrase analog over the positional segments: exact
         adjacent-run occurrences scored as a single BM25 pseudo-term
-        (tf = occurrence count, df = matching-doc count).
+        (tf = occurrence count, df = matching-doc count).  ``slop > 0``
+        relaxes adjacency to an in-order proximity chain (Lucene
+        SpanNearQuery inOrder=true analog — total gap <= slop; see
+        positions.make_phrase_matcher); slab pruning is unchanged (a
+        near match still needs every term in the doc's slab).
 
         Plan shape (same as the BM25 WAND path's): possegments scan
         pruned to files that can match (bucket file-skip + term row
@@ -1717,7 +1723,7 @@ class SearchEngine:
             self._possegments.filter(pred)
             .groupBy("slab")
             .applyInPandas(
-                make_phrase_matcher(terms, int(m["slab_size"])),
+                make_phrase_matcher(terms, int(m["slab_size"]), slop),
                 schema="docid long, ptf long",
             )
         )
@@ -1758,7 +1764,7 @@ class SearchEngine:
         )
 
     def search_phrase_local(
-        self, phrase: str, k: int = 10
+        self, phrase: str, k: int = 10, slop: int = 0
     ) -> list[tuple[int, float]]:
         """Serving-path phrase top-k: NO Spark job — pyarrow pruned
         read of the positional chunks + the same numpy composite-key
@@ -1817,7 +1823,7 @@ class SearchEngine:
         ).to_pandas()
         if pdf.empty:
             return []
-        kernel = make_phrase_matcher(terms, int(m["slab_size"]))
+        kernel = make_phrase_matcher(terms, int(m["slab_size"]), slop)
         parts = [
             kernel((int(slab),), g) for slab, g in pdf.groupby("slab")
         ]

@@ -217,10 +217,20 @@ def build_positional_index(
     }
 
 
-def make_phrase_matcher(terms: list[str], slab_size: int):
+def make_phrase_matcher(terms: list[str], slab_size: int, slop: int = 0):
     """applyInPandas kernel for one slab's pruned positional chunks:
     (docid global, ptf) for docs containing ``terms`` as an exact
-    adjacent run.
+    adjacent run — or, with ``slop > 0``, as an in-order proximity
+    chain (Lucene SpanNearQuery inOrder=true analog): ptf = number of
+    start positions beginning an increasing chain with total gap
+    <= slop.  The slop path replaces the intersection fold with a
+    vectorized GREEDY chain walk over the same composite keys
+    (docid*M + pos is sorted, so "smallest position of term j in the
+    same doc greater than p_{j-1}" is one searchsorted per offset);
+    greedy minimizes the span, so chain-exists iff greedy-valid — the
+    count is exact.  slop=0 keeps the intersection fast path; the two
+    agree there by construction (adjacency = chain with gap 0),
+    pinned in pytest against the scan form.
 
     All-numpy composite-key intersection — no per-doc Python objects:
     term at phrase offset j contributes keys
@@ -255,6 +265,35 @@ def make_phrase_matcher(terms: list[str], slab_size: int):
             for _, _, p in (decoded[t] for t in set(terms))
         )
         m_radix = maxpos + n + 1
+        if slop > 0:
+            # greedy in-order chain over sorted composite keys
+            key_arrays = []
+            for j in range(n):
+                d, plens, pos = decoded[terms[j]]
+                key_arrays.append(
+                    np.repeat(d, plens) * m_radix + pos
+                )
+            starts = key_arrays[0]
+            cur = starts
+            valid = np.ones(len(starts), dtype=bool)
+            for j in range(1, n):
+                kj = key_arrays[j]
+                if len(kj) == 0:
+                    return empty
+                idx = np.searchsorted(kj, cur, side="right")
+                ok = idx < len(kj)
+                nxt = kj[np.minimum(idx, len(kj) - 1)]
+                ok &= (nxt // m_radix) == (starts // m_radix)
+                valid &= ok
+                cur = np.where(ok, nxt, cur)
+            span_ok = (cur % m_radix) - (starts % m_radix) - (n - 1) <= slop
+            sel = starts[valid & span_ok]
+            if sel.size == 0:
+                return empty
+            docids, counts = np.unique(sel // m_radix, return_counts=True)
+            return pd.DataFrame(
+                {"docid": docids + base, "ptf": counts.astype(np.int64)}
+            )
         offsets = sorted(
             range(n), key=lambda j: len(decoded[terms[j]][2])
         )

@@ -606,3 +606,58 @@ def bm25_phrase_sql(phrase: str, k: int = 10) -> str:
         "SELECT docid, ROUND(raw, 4) AS score FROM scored "
         f"ORDER BY raw DESC, docid LIMIT {k}"
     )
+
+
+def bm25_near_sql(phrase: str, slop: int, k: int = 10) -> str:
+    """Twin of contract.q_bm25_near: in-order proximity tf via the
+    same greedy-chain rule (p_j = smallest position of term j greater
+    than p_{j-1}; valid iff the last position exists and the total
+    gap <= slop — greedy minimizes the span, so the count is exact).
+    Positions are 1-based lists per term; the chain unrolls to nested
+    list_min(list_filter(...)) lambdas, NULLs propagating exactly like
+    the Spark side's array_min-over-filter (empty -> NULL -> the
+    outer predicate is NULL -> dropped)."""
+    from search_engine_spark.tokenizer import py_tokenize
+
+    terms = py_tokenize(" ".join(phrase.strip().split())[:500])
+    if not terms:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS docid, "
+            "CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+        )
+    n = len(terms)
+    if n == 1:
+        ptf = "len(list_filter(toks, t -> t = '" + terms[0] + "'))"
+    else:
+        def pos_of(t: str) -> str:
+            return (
+                "list_filter(range(1, len(toks) + 1), "
+                f"i -> list_extract(toks, i) = '{t}')"
+            )
+
+        prev = "p0"
+        for j in range(1, n):
+            prev = (
+                f"list_min(list_filter({pos_of(terms[j])}, "
+                f"x -> x > {prev}))"
+            )
+        valid = f"{prev} - p0 - {n - 1} <= {slop}"
+        ptf = (
+            f"CASE WHEN len(toks) < {n} THEN 0 ELSE "
+            f"len(list_filter({pos_of(terms[0])}, p0 -> {valid})) END"
+        )
+    return (
+        "WITH " + toks_cte() + ", "
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, "
+        "avg(doclen) AS avgdl FROM tl), "
+        f"m AS (SELECT docid, doclen, {ptf} AS ptf FROM tl), "
+        "hits AS (SELECT * FROM m WHERE ptf > 0), "
+        "dfp AS (SELECT CAST(count(*) AS DOUBLE) AS df FROM hits), "
+        "scored AS (SELECT h.docid, "
+        "ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * "
+        f"(h.ptf * ({BM25_K1} + 1.0) / (h.ptf + {BM25_K1} * "
+        f"(1.0 - {BM25_B} + {BM25_B} * h.doclen / s.avgdl))) AS raw "
+        "FROM hits h CROSS JOIN dfp d CROSS JOIN stats s) "
+        "SELECT docid, ROUND(raw, 4) AS score FROM scored "
+        f"ORDER BY raw DESC, docid LIMIT {k}"
+    )

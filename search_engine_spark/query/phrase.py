@@ -78,6 +78,69 @@ def phrase_tf_col(toks: Column, terms: list[str]) -> Column:
     ).otherwise(F.lit(0))
 
 
+def near_tf_col(toks: Column, terms: list[str], slop: int) -> Column:
+    """JVM column: in-order proximity tf (Lucene SpanNearQuery
+    inOrder=true analog): number of start positions p0 of ``terms[0]``
+    that begin an increasing chain p0 < p1 < ... < p_{n-1} (term j at
+    p_j) with total gap p_{n-1} - p0 - (n-1) <= ``slop``.
+
+    The witness chain is the GREEDY one (each p_j = smallest position
+    of term j greater than p_{j-1}): greedy minimizes every p_j by
+    induction, hence minimizes the span, so a valid chain exists from
+    p0 iff the greedy chain is valid — the count is exact, not a
+    heuristic.  ``slop=0`` degenerates to exact adjacency
+    (= ``phrase_tf_col``; pinned in pytest).  Unordered rearrangement
+    (ES match_phrase slop's transposition-costs-2 semantics) is out of
+    scope — this is the in-order span form, documented divergence.
+
+    Pure column expression — positions per term are 1-based index
+    arrays filtered from the token array; the chain unrolls to nested
+    higher-order functions (array_min over filter), so the whole thing
+    stays in whole-stage codegen like ``phrase_tf_col``.
+    """
+    n = len(terms)
+    if n == 1:
+        return F.size(F.filter(toks, lambda x: x == F.lit(terms[0])))
+    idxs = F.sequence(F.lit(1), F.size(toks))
+
+    # NB: every lambda below takes exactly ONE parameter and closes
+    # over its context via a factory — F.filter/F.transform introspect
+    # the arity, and a second (even defaulted) parameter would receive
+    # the array index (the documented trap in grouped_phrase_starts).
+    def _pos_of(t: str) -> Column:
+        return F.filter(idxs, lambda i: F.element_at(toks, i) == F.lit(t))
+
+    pos_arrays = [_pos_of(t) for t in terms]
+
+    def _next_after(arr: Column, prev: Column) -> Column:
+        return F.array_min(F.filter(arr, lambda x: x > prev))
+
+    def chain_valid(p0: Column) -> Column:
+        prev = p0
+        for j in range(1, n):
+            prev = _next_after(pos_arrays[j], prev)
+        return prev.isNotNull() & (prev - p0 - (n - 1) <= F.lit(slop))
+
+    return F.when(
+        F.size(toks) >= n, F.size(F.filter(pos_arrays[0], chain_valid))
+    ).otherwise(F.lit(0))
+
+
+def near_matches_scan(
+    tl: DataFrame, terms: list[str], slop: int
+) -> DataFrame:
+    """Scan form: (docid, doclen, ptf>0) for the in-order proximity
+    match — one codegen'd map stage, same shape as the exact form."""
+    return (
+        tl.select(
+            "docid",
+            "doclen",
+            near_tf_col(F.col("toks"), terms, slop).alias("ptf"),
+        )
+        .filter(F.col("ptf") > 0)
+    )
+
+
 def phrase_matches_scan(tl: DataFrame, terms: list[str]) -> DataFrame:
     """Scan form: (docid, doclen, ptf>0) via one codegen'd map stage."""
     return (

@@ -412,3 +412,135 @@ def test_incremental_positions_equal_full(spark, tmp_path_factory):
     assert [bytes(x) for x in incr["posdata"]] == [
         bytes(x) for x in full["posdata"]
     ]
+
+
+# -- in-order proximity (slop) -----------------------------------------
+
+
+def py_near_tf(tokens: list[str], terms: list[str], slop: int) -> int:
+    """Reference: count of starts p0 with an increasing greedy chain
+    (term j at the smallest position > p_{j-1}) of total gap <= slop."""
+    n = len(terms)
+    if n == 1:
+        return tokens.count(terms[0])
+    pos = [[i for i, t in enumerate(tokens) if t == term] for term in terms]
+    cnt = 0
+    for p0 in pos[0]:
+        prev, ok = p0, True
+        for j in range(1, n):
+            nxt = [x for x in pos[j] if x > prev]
+            if not nxt:
+                ok = False
+                break
+            prev = min(nxt)
+        if ok and prev - p0 - (n - 1) <= slop:
+            cnt += 1
+    return cnt
+
+
+NEAR_CASES = [
+    (["table", "hash"], 0),
+    (["table", "hash"], 1),
+    (["hash", "table"], 2),
+    (["hash", "table", "hash"], 1),
+    (["aaa", "aaa"], 3),          # duplicate term, strict increase
+    (["join", "hash"], 10),       # wide window
+    (["table"], 2),               # single term: plain tf
+]
+
+
+@pytest.mark.parametrize(
+    "terms,slop", NEAR_CASES,
+    ids=["-".join(t) + f"~{s}" for t, s in NEAR_CASES],
+)
+def test_near_scan_matches_python_reference(tl, terms, slop):
+    got = {
+        r["docid"]: r["ptf"]
+        for r in PH.near_matches_scan(tl, terms, slop).collect()
+    }
+    want = {
+        d: py_near_tf(py_tokenize(t), terms, slop)
+        for d, t in DOCS
+        if py_near_tf(py_tokenize(t), terms, slop) > 0
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("terms", PHRASES, ids=["-".join(p) for p in PHRASES])
+def test_near_slop0_equals_exact(tl, terms):
+    """slop=0 degenerates to exact adjacency — bit-for-bit."""
+    exact = sorted(
+        map(tuple, PH.phrase_matches_scan(tl, terms)
+            .select("docid", "ptf").collect())
+    )
+    near = sorted(
+        map(tuple, PH.near_matches_scan(tl, terms, 0)
+            .select("docid", "ptf").collect())
+    )
+    assert near == exact
+
+
+def test_near_duckdb_twin_on_synthetic(spark, tl):
+    duckdb = pytest.importorskip("duckdb")
+    from search_engine_spark.oracle.sqlgen import bm25_near_sql
+
+    pdf = tl.select(F.col("docid").alias("doc_id"), "text").toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    for phrase, slop in (
+        ("table hash", 1), ("hash table hash", 2), ("join zzz", 5),
+        ("table", 1),
+    ):
+        want = con.sql(bm25_near_sql(phrase, slop, 10)).df()
+        terms = py_tokenize(phrase)
+        got = PH.phrase_topk(
+            PH.near_matches_scan(tl, terms, slop), tl, 10
+        ).toPandas()
+        assert got["docid"].tolist() == want["docid"].tolist(), (phrase, slop)
+        assert got["score"].tolist() == want["score"].tolist(), (phrase, slop)
+
+
+NEAR_ENGINE_CASES = [("merge sort", 1), ("binary search", 2),
+                     ("sort merge sort", 1), ("hash hash", 3),
+                     ("merge", 2)]
+
+
+@pytest.mark.parametrize("phrase,slop", NEAR_ENGINE_CASES)
+def test_engine_near_matches_scan_form(
+    phrase_engine, phrase_engine_tl, phrase, slop
+):
+    """search_phrase(slop=) through the persisted positional segments
+    (greedy composite-key kernel) equals the scan form."""
+    terms = py_tokenize(phrase)
+    want = [
+        (r["docid"], r["score"])
+        for r in PH.phrase_topk(
+            PH.near_matches_scan(phrase_engine_tl, terms, slop),
+            phrase_engine_tl,
+            10,
+        ).collect()
+    ]
+    got_rows = phrase_engine.search_phrase(phrase, 10, slop=slop).collect()
+    got = [(r["docid"], round(r["score"], 4)) for r in got_rows]
+    assert got == want, (phrase, slop)
+
+
+@pytest.mark.parametrize("phrase,slop", NEAR_ENGINE_CASES)
+def test_near_serving_matches_spark(phrase_engine, phrase, slop):
+    want = [
+        (r["docid"], r["score"])
+        for r in phrase_engine.search_phrase(phrase, 10, slop=slop).collect()
+    ]
+    got = phrase_engine.search_phrase_local(phrase, 10, slop=slop)
+    assert [d for d, _ in got] == [d for d, _ in want], (phrase, slop)
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=0, abs=0), (phrase, slop)
+
+
+def test_near_slop_widens_matches(phrase_engine):
+    """Monotonicity: larger slop can only add matching docs."""
+    m0 = {d for d, _ in phrase_engine.search_phrase_local("merge sort", 1000)}
+    m2 = {d for d, _ in phrase_engine.search_phrase_local(
+        "merge sort", 1000, slop=2)}
+    assert m0 <= m2
+    assert len(m2) > len(m0)  # the relaxation demonstrably fires
