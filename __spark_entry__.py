@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # itself is gated in-window above
             "hll_vocab_stream": CO.q_hll_vocab_stream,
             "cms_term_freq": CO.q_cms_term_freq,
+            "cms_term_freq_stream": CO.q_cms_term_freq_stream,
         }
     )
     # Gate ordering (round 5): the driver records only the FIRST 50
@@ -382,6 +383,7 @@ def oracle_sql() -> dict[str, str]:
             # sessionize_stream discipline)
             "hll_vocab_stream": OO.hll_vocab_sql(),
             "cms_term_freq": OO.cms_term_freq_sql(),
+            "cms_term_freq_stream": OO.cms_term_freq_sql(),
         }
     )
     return o

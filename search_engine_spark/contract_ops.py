@@ -867,6 +867,58 @@ def q_cms_term_freq(spark, sf_dir) -> DataFrame:
     return cms_point_estimates(sk, CMS_PROBES).orderBy("term")
 
 
+def q_cms_term_freq_stream(spark, sf_dir) -> DataFrame:
+    """Streaming twin of cms_term_freq (§2.8 x sketches): token
+    occurrences replayed through readStream, the Count-Min table
+    maintained as a STREAMING groupBy(j, bucket).count() — state
+    bounded at depth * width cells for an unbounded stream (the
+    sketch's value on ingest: heavy-hitter counts without per-term
+    state).  Complete-mode memory sink; point estimates are computed
+    on the final cell table and compared to the same cms_term_freq_sql
+    oracle — streaming state vs batch SQL, exact because the cells
+    are integers and the construction is deterministic."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from search_engine_spark.ops.sketches import (
+        cms_point_estimates,
+        cms_sketch,
+    )
+    from search_engine_spark.tokenizer import tokens_col
+
+    src_dir = tempfile.mkdtemp(prefix="cms_stream_contract_")
+    try:
+        shutil.copy(
+            os.path.join(sf_dir, "documents.parquet"),
+            os.path.join(src_dir, "part-00000.parquet"),
+        )
+        schema = load(spark, sf_dir, "documents").schema
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        items = stream.select(F.explode(tokens_col("text")).alias("term"))
+        sk = cms_sketch(items, "term")
+        sink = "cms_term_freq_stream_" + uuid.uuid4().hex[:8]
+        q = (
+            sk.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(600):
+                raise TimeoutError(
+                    "cms_term_freq_stream: availableNow replay exceeded "
+                    "600s — refusing to compare a partial cell table"
+                )
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+    return cms_point_estimates(spark.table(sink), CMS_PROBES).orderBy("term")
+
+
 def q_hll_vocab_stream(spark, sf_dir) -> DataFrame:
     """Streaming twin of hll_vocab (§2.8 x sketches): the documents
     table replayed through readStream, HLL registers maintained as a
