@@ -165,6 +165,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_page2"] = partial(
         C.q_bm25_page, query=PAGE_QUERY, page=1, size=10
     )
+    # round 5 session 4: ES search_after keyset pagination — the
+    # kernel-level cursor admission path (query/wand._after_mask),
+    # distinct from bm25_page2's driver-side rank window.  Same query
+    # so both pagination semantics are gated on the same ranking.
+    q["bm25_after_q1"] = partial(C.q_bm25_after, query=PAGE_QUERY, k=10)
     # round 5: match_phrase — scan form on the bigram, positional
     # form on the trigram (in-window); the cross twins sit in the
     # sweep-verified tail
@@ -287,10 +292,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # strict subset of bm25_full_q1's, which stays gated) and
     # bm25_fields_q1 joins the tail (fields_q2 runs the same
     # two-field machinery WITH the expansion clauses on top).
+    # bm25_after_q1 (kernel cursor admission — a NEW scorer path) takes
+    # freshness_decay's window slot: X8 is a three-line pure column
+    # expression (exp(-0.01*days) over a datediff) with no index or
+    # kernel machinery behind it; the all-scale sweep keeps it
+    # hash-gated at sf0.01/0.1/1.
     for tail in ("bm25_q2", "bm25_q3", "bm25_q4", "ann_sign_lsh",
                  "ann_ivf", "bm25_and_q2", "simhash_fp", "minhash_sig",
                  "bm25_wand_q2", "bm25_full_q2", "bm25_full_q3",
-                 "bm25_fields_q1", "bm25_expanded_q2"):
+                 "bm25_fields_q1", "bm25_expanded_q2", "freshness_decay"):
         q[tail] = q.pop(tail)
     return q
 
@@ -319,6 +329,7 @@ def oracle_sql() -> dict[str, str]:
     for name, text in FULL_QUERIES.items():
         o[name] = O.bm25_full_sql(text, 10)
     o["bm25_page2"] = O.bm25_page_sql(PAGE_QUERY, page=1, size=10)
+    o["bm25_after_q1"] = O.bm25_after_sql(PAGE_QUERY, 10)
     # scan and positional phrase forms are identical by construction,
     # so each phrase's two entries share one oracle (the ann_* pattern)
     o["bm25_phrase_q1"] = O.bm25_phrase_sql(PHRASE_QUERIES["bm25_phrase_q1"], 10)

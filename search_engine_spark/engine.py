@@ -202,6 +202,7 @@ class SearchEngine:
         mode: str = "or",
         intent: bool = False,
         exclude: str | None = None,
+        after: tuple[float, int] | None = None,
     ) -> DataFrame:
         """Top-k (docid, score) via per-slab block-max WAND.
 
@@ -225,6 +226,21 @@ class SearchEngine:
         chunks ride the same per-slab groups as the scored terms
         (NULL-idf rows), so must_not costs one extra pruned segment
         scan and no extra shuffle.
+
+        ``after`` is ES search_after keyset pagination: the exact
+        (score, docid) of the previous page's last hit; only documents
+        strictly after that cursor in (score desc, docid asc) order
+        are returned.  Unlike from/size (W2, paginate()), a deep page
+        never materializes the pages before it — at 100 TB this is the
+        only sane way to scroll far into a result set, which is why ES
+        deprecated deep from/size in favor of search_after.  The
+        cursor filter is applied INSIDE the per-slab kernels before
+        candidates enter the running top-k, so WAND pruning bounds
+        stay exact (dropping documents only lowers admissible scores).
+        A cursor is valid for the path that issued it (this method or
+        search_local respectively): the two paths' scores agree to
+        1e-12 but not always bitwise, and the tie rule compares exact
+        floats — the same contract ES sort values carry.
         """
         if expand:
             from search_engine_spark.query.expansion import expand_query
@@ -239,7 +255,7 @@ class SearchEngine:
                 weights.setdefault(t, w)
         exclude_terms = tokenize_query(exclude) if exclude else None
         return self._search_weights(
-            weights, k, mode=mode, exclude_terms=exclude_terms
+            weights, k, mode=mode, exclude_terms=exclude_terms, after=after
         )
 
     def _search_weights(
@@ -248,6 +264,7 @@ class SearchEngine:
         k: int = 10,
         mode: str = "or",
         exclude_terms: list[str] | None = None,
+        after: tuple[float, int] | None = None,
     ) -> DataFrame:
         """Weighted-clause WAND core shared by search / search_fuzzy /
         search_prefix: per-term contribution = w_t * idf_t * tfn (the
@@ -286,6 +303,7 @@ class SearchEngine:
             float(m["avgdl"]),
             bound_scale,
             n_required=len(terms) if mode == "and" else 0,
+            after=after,
         )
         per_slab = seg.groupBy("slab").applyInPandas(scorer, schema=TOPK_SCHEMA)
         return per_slab.orderBy(F.desc("score"), F.asc("docid")).limit(k)
@@ -1039,6 +1057,7 @@ class SearchEngine:
     def _fused_dense(
         self, by_term: dict[str, list], by_slab: dict[int, list],
         idf: dict[str, float], k: int,
+        after: tuple[float, int] | None = None,
     ) -> "list[tuple[int, float]] | None":
         """All-slabs-dense fast path for ``search_local`` (OR mode):
         one ``fused_dense_topk`` call over the whole docid space
@@ -1109,7 +1128,7 @@ class SearchEngine:
                 ent["fkey"] = fkey
             parts.append((ent["gids"], idf[t], ent["fac"]))
         ids, sc = fused_dense_topk(
-            parts, (max_slab + 1) * ss, k,
+            parts, (max_slab + 1) * ss, k, after=after,
         )
         return list(zip(ids.tolist(), sc.tolist()))
 
@@ -1149,7 +1168,11 @@ class SearchEngine:
         return results
 
     def search_local(
-        self, query: str, k: int = 10, exclude: str | None = None
+        self,
+        query: str,
+        k: int = 10,
+        exclude: str | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Serving-path top-k: NO Spark job — pyarrow pruned read of
         the term/bucket segment files + the same numpy block-max WAND
@@ -1168,7 +1191,8 @@ class SearchEngine:
             return []
         exclude_terms = tokenize_query(exclude) if exclude else None
         return self._search_local_weights(
-            {t: 1.0 for t in terms}, k, exclude_terms=exclude_terms
+            {t: 1.0 for t in terms}, k,
+            exclude_terms=exclude_terms, after=after,
         )
 
     def _search_local_weights(
@@ -1176,6 +1200,7 @@ class SearchEngine:
         weights: dict[str, float],
         k: int = 10,
         exclude_terms: list[str] | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Weighted-clause serving core (no Spark job): per-term
         contribution = w_t * idf_t * tfn.  ``search_local`` is the
@@ -1239,7 +1264,7 @@ class SearchEngine:
                 s: np.unique(np.concatenate(ps)) for s, ps in parts.items()
             }
         if not exclude_terms:
-            fused = self._fused_dense(by_term, by_slab, idf, k)
+            fused = self._fused_dense(by_term, by_slab, idf, k, after=after)
             if fused is not None:
                 return fused
         bound_scale = max(1.0, float(m["avgdl"]) / float(m["norm_avgdl"]))
@@ -1264,6 +1289,7 @@ class SearchEngine:
                 float(m["avgdl"]),
                 bound_scale,
                 exclude=excl_by_slab.get(slab),
+                after=after,
             )
 
         results = self._run_slabs(by_slab, score_one)

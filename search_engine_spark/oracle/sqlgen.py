@@ -526,6 +526,46 @@ def bm25_page_sql(query: str, page: int = 1, size: int = 10) -> str:
     )
 
 
+def bm25_after_sql(query: str, k: int = 10) -> str:
+    """Keyset-pagination twin (contract.q_bm25_after): rank rows
+    k+1..2k of the dedup BM25 ordering.  The oracle ranks on the RAW
+    score (the Spark twin's kernel admits on full precision); the
+    output rounds like every other bm25 entry.  row_number() is
+    computed in a subquery because the rank window must see ALL scored
+    docs, not a pre-limited page."""
+    terms = tokenize_query(query)
+    if not terms:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS docid, "
+            "CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+        )
+    terms_in = ", ".join(f"'{t}'" for t in terms)
+    return (
+        "WITH surv AS (SELECT doc_id, text FROM documents "
+        "QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1), "
+        "toks AS (SELECT doc_id AS docid, "
+        f"{duckdb_tokens_sql('text')} AS toks FROM surv), "
+        "tl AS (SELECT docid, toks, len(toks) AS doclen FROM toks), "
+        "exploded AS (SELECT docid, doclen, unnest(toks) AS term FROM tl), "
+        "postings AS (SELECT term, docid, CAST(count(*) AS INT) AS tf, "
+        "doclen FROM exploded GROUP BY term, docid, doclen), "
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, "
+        "avg(doclen) AS avgdl FROM tl), "
+        "dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings "
+        f"WHERE term IN ({terms_in}) GROUP BY term), "
+        "scored AS (SELECT p.docid, "
+        "SUM(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * "
+        f"(p.tf * ({BM25_K1} + 1.0) / (p.tf + {BM25_K1} * "
+        f"(1.0 - {BM25_B} + {BM25_B} * p.doclen / s.avgdl)))) AS raw "
+        "FROM postings p JOIN dfs d ON p.term = d.term CROSS JOIN stats s "
+        f"WHERE p.term IN ({terms_in}) GROUP BY p.docid), "
+        "ranked AS (SELECT docid, raw, row_number() OVER "
+        "(ORDER BY raw DESC, docid) AS rn FROM scored) "
+        "SELECT docid, ROUND(raw, 4) AS score FROM ranked "
+        f"WHERE rn > {k} AND rn <= {2 * k} ORDER BY raw DESC, docid"
+    )
+
+
 def ranked_blend_sql(query: str, k: int = 10, candidates: int = 40) -> str:
     """Twin of contract.q_ranked_blend: BM25 candidates -> min-max
     bm25norm -> quality -> 0.35/0.20 blend clamped to [0,1] (pagerank/

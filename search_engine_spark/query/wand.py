@@ -51,6 +51,26 @@ def _not_in_sorted(values: np.ndarray, excl: np.ndarray) -> np.ndarray:
     return excl[pos] != values
 
 
+def _after_mask(
+    sc: np.ndarray, gids: np.ndarray, after: tuple[float, int]
+) -> np.ndarray:
+    """Keyset-pagination admission (ES ``search_after``): keep only
+    documents STRICTLY after the cursor in (score desc, docid asc)
+    order — score below the cursor's, or equal score with a larger
+    global docid.  The cursor is the exact (score, docid) of the
+    previous page's last hit, so page boundaries are stable under
+    concurrent paging the way ES's search_after is (and unlike
+    from/size, no page-N query ever materializes pages 1..N-1).
+    Scores are deterministic per execution path and engine generation
+    (same chunks, same float add order), so the strict equality is
+    exact WITHIN the path that issued the cursor — the ES rule: sort
+    values come from the engine that serves the next page.  The Spark
+    and serving paths agree to 1e-12 but not always bitwise, so a
+    cursor must not cross paths (pinned in tests/test_search_after)."""
+    s_c, d_c = float(after[0]), int(after[1])
+    return (sc < s_c) | ((sc == s_c) & (gids > d_c))
+
+
 def _topk_select(ids, sc, k):
     """Exact (score desc, docid asc) top-k with boundary-tie keep:
     threshold at the kth-largest score, keep ties, lexsort the small
@@ -74,6 +94,7 @@ def _exhaustive_topk(
     b: float,
     n_required: int = 0,
     exclude: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Term-at-a-time exhaustive scorer for dense queries (see the
     dispatch in ``slab_topk``): full-decode every chunk once, one
@@ -82,7 +103,8 @@ def _exhaustive_topk(
     scores; the final (score desc, docid asc) selection keeps boundary
     ties exactly like the batch path's lexsort.  ``exclude`` (sorted
     unique slab-local docids) drops bool.must_not documents before
-    the top-k selection."""
+    the top-k selection; ``after`` (cursor (score, global docid))
+    drops documents at-or-before the cursor (search_after)."""
     scores = np.zeros(slab_size, dtype=np.float64)
     counts = np.zeros(slab_size, dtype=np.int32) if n_required else None
     for c, idf, c_avgdl, _b in chunks:
@@ -98,6 +120,9 @@ def _exhaustive_topk(
     if exclude is not None:
         ids = ids[_not_in_sorted(ids, exclude)]
     sc = scores[ids]
+    if after is not None:
+        keep = _after_mask(sc, ids + slab_base, after)
+        ids, sc = ids[keep], sc[keep]
     ids, sc = _topk_select(ids, sc, k)
     return ids + slab_base, sc
 
@@ -106,6 +131,7 @@ def fused_dense_topk(
     parts: list[tuple],
     n_space: int,
     k: int,
+    after: tuple[float, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Serving-head fusion of the exhaustive scorer across ALL slabs.
 
@@ -140,6 +166,9 @@ def fused_dense_topk(
             scores[gids] += idf * fac
         ids = np.flatnonzero(scores > 0.0)
         sc = scores[ids]
+    if after is not None:
+        keep = _after_mask(sc, ids, after)
+        ids, sc = ids[keep], sc[keep]
     return _topk_select(ids, sc, k)
 
 
@@ -156,6 +185,7 @@ def slab_topk(
     batch_blocks: int = 64,
     n_required: int = 0,
     exclude: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k of one slab.
 
@@ -178,6 +208,12 @@ def slab_topk(
     before they can enter the running top-k, so theta only ever rises
     from admissible documents and pruning against the OR bound remains
     exact for the included set.
+
+    ``after`` ((score, global docid) cursor) enables ES search_after
+    keyset pagination: only documents strictly after the cursor in
+    (score desc, docid asc) order enter the running top-k.  Like
+    ``exclude``, dropping documents only lowers achievable admissible
+    scores, so theta-based block pruning stays exact.
     """
     chunks = [
         (c[0], c[1], avgdl, bound_scale) if len(c) == 2 else c
@@ -202,7 +238,7 @@ def slab_topk(
     ):
         return _exhaustive_topk(
             chunks, slab_base, slab_size, block_size, k, k1, b,
-            n_required, exclude,
+            n_required, exclude, after,
         )
     ub = np.zeros(n_grid, dtype=np.float64)
     for c, idf, _a, bscale in chunks:
@@ -275,6 +311,11 @@ def slab_topk(
             keep = counts[touched] >= n_required
             counts[touched] = 0
             touched, cand_scores = touched[keep], cand_scores[keep]
+            if len(touched) == 0:
+                continue
+        if after is not None:
+            keep_a = _after_mask(cand_scores, touched + slab_base, after)
+            touched, cand_scores = touched[keep_a], cand_scores[keep_a]
             if len(touched) == 0:
                 continue
         best_ids = np.concatenate([best_ids, touched])
@@ -651,6 +692,7 @@ def make_slab_scorer(
     avgdl: float,
     bound_scale: float = 1.0,
     n_required: int = 0,
+    after: tuple[float, int] | None = None,
 ):
     """applyInPandas scorer: group = one slab's matching segment rows.
 
@@ -707,6 +749,7 @@ def make_slab_scorer(
             bound_scale,
             n_required=n_required,
             exclude=exclude,
+            after=after,
         )
         return pd.DataFrame({"docid": ids, "score": sc})
 
