@@ -287,6 +287,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in-order proximity retrieval (sweep tail, same rationale)
     for name, (ph, slop) in NEAR_QUERIES.items():
         q[name] = partial(C.q_bm25_near, phrase=ph, slop=slop, k=10)
+    # sortBy date/pagerank (SearchRequestDTO.java:19 semantics the ES
+    # adapter never applied) — sweep tail: match set -> deterministic
+    # docid-derived key -> top-k -> score join (contract.q_bm25_sorted)
+    q["bm25_sort_date"] = partial(
+        C.q_bm25_sorted, query=PAGE_QUERY, sort_by="date", k=20
+    )
+    q["bm25_sort_rank"] = partial(
+        C.q_bm25_sorted, query=PAGE_QUERY, sort_by="pagerank", k=20
+    )
     # round-5 fuzzy/prefix need two window slots: bm25_full_q3 joins
     # the tail (its bare BEST_FIELDS + pagerank computation is a
     # strict subset of bm25_full_q1's, which stays gated) and
@@ -330,6 +339,8 @@ def oracle_sql() -> dict[str, str]:
         o[name] = O.bm25_full_sql(text, 10)
     o["bm25_page2"] = O.bm25_page_sql(PAGE_QUERY, page=1, size=10)
     o["bm25_after_q1"] = O.bm25_after_sql(PAGE_QUERY, 10)
+    o["bm25_sort_date"] = O.bm25_sorted_sql(PAGE_QUERY, "date", 20)
+    o["bm25_sort_rank"] = O.bm25_sorted_sql(PAGE_QUERY, "pagerank", 20)
     # scan and positional phrase forms are identical by construction,
     # so each phrase's two entries share one oracle (the ann_* pattern)
     o["bm25_phrase_q1"] = O.bm25_phrase_sql(PHRASE_QUERIES["bm25_phrase_q1"], 10)

@@ -1612,6 +1612,229 @@ class SearchEngine:
             )
         )
 
+    def _decoded_postings_df(self, terms: list[str]) -> DataFrame:
+        """(term, docid, tf) rows decoded from the pruned segment scan
+        — one mapInPandas over the bucket/term/slab-pruned files,
+        global docids.  The non-scoring decode shared by sortBy
+        retrieval (and any future operator that needs the raw match
+        set rather than a top-k)."""
+        import pandas as pd
+
+        from search_engine_spark.indexer.codec import TermChunk
+
+        block_size = int(self.meta["block_size"])
+        ss = int(self.meta["slab_size"])
+
+        def gen(it):
+            for pdf in it:
+                for r in pdf.itertuples():
+                    local, tf, _dl = TermChunk(
+                        r.postings, r.skips, r.block_max
+                    ).decode_all(block_size)
+                    yield pd.DataFrame(
+                        {
+                            "term": r.term,
+                            "docid": local + r.slab * ss,
+                            "tf": tf.astype("int32"),
+                        }
+                    )
+
+        seg = self._pruned_segments(terms).select(
+            "slab", "term", "postings", "skips", "block_max"
+        )
+        return seg.mapInPandas(gen, schema="term string, docid long, tf int")
+
+    def search_sorted(
+        self,
+        query: str,
+        k: int = 10,
+        sort_by: str = "date",
+        rank: DataFrame | None = None,
+    ) -> DataFrame:
+        """SearchRequestDTO ``sortBy`` semantics (relevance | date |
+        pagerank — SearchRequestDTO.java:19, SearchControllerV2.java:46;
+        the reference's ES adapter plumbs the param but its Spring Data
+        findAll never applies it, SURVEY §2.1 S6): documents matching
+        ANY query term, top-k by the sort key desc (docid asc tie)
+        instead of score; each hit still carries its BM25 score.
+
+        Keys: ``date`` = the deterministic synthetic publish day
+        (ops/ranking.pub_day_col — the corpus has no real dates);
+        ``pagerank`` = the supplied ``rank`` DataFrame (docid, rank),
+        e.g. ops/graph.pagerank_converged output, missing docs at 0.0;
+        with ``rank=None`` the deterministic hash rank stands in.
+
+        Plan shape (the 100 TB story): pruned segment scan -> decode
+        to (docid) -> distinct (one shuffle on docid) -> TakeOrdered k
+        by key (per-partition top-k + driver merge, no global sort) ->
+        BM25 scores computed for the k SURVIVORS ONLY (a second pruned
+        scan filtered to k docids + broadcast idf + docmap doclen for
+        k rows).  Sorting by a field never scores the full match set.
+        """
+        if sort_by in ("relevance", "score"):
+            return self.search(query, k)
+        if sort_by not in ("date", "pagerank"):
+            raise ValueError(f"unknown sortBy {sort_by!r}")
+        from search_engine_spark.ops.ranking import (
+            hash_rank_col,
+            pub_day_col,
+        )
+
+        empty = "docid long, sort_key double, score double"
+        terms = tokenize_query(query)
+        if not terms:
+            return self.spark.createDataFrame([], empty)
+        dec = self._decoded_postings_df(terms)
+        cand = dec.select("docid").distinct()
+        if sort_by == "date":
+            keyed = cand.withColumn(
+                "sort_key", pub_day_col(F.col("docid")).cast("double")
+            )
+        elif rank is None:
+            keyed = cand.withColumn("sort_key", hash_rank_col(F.col("docid")))
+        else:
+            r = rank.select(
+                F.col(rank.columns[0]).cast("long").alias("docid"),
+                F.col(rank.columns[1]).cast("double").alias("sort_key"),
+            )
+            keyed = cand.join(r, "docid", "left").fillna({"sort_key": 0.0})
+        top = keyed.orderBy(F.desc("sort_key"), F.asc("docid")).limit(k)
+        surv = [int(r["docid"]) for r in top.collect()]  # the k results
+        if not surv:
+            return self.spark.createDataFrame([], empty)
+        m = self.meta
+        k1, b = float(m["k1"]), float(m["b"])
+        avgdl = float(m["avgdl"])
+        dl = self.docmap.filter(F.col("docid").isin(surv)).select(
+            "docid", "doclen"
+        )
+        tfd = F.col("tf").cast("double")
+        scores = (
+            dec.filter(F.col("docid").isin(surv))
+            .join(F.broadcast(self._idf_rows(terms)), "term")
+            .join(F.broadcast(dl), "docid")
+            .withColumn(
+                "_c",
+                F.col("idf")
+                * tfd * (k1 + 1.0)
+                / (tfd + k1 * (1.0 - b + b * F.col("doclen") / avgdl)),
+            )
+            .groupBy("docid")
+            .agg(F.sum("_c").alias("score"))
+        )
+        return (
+            top.join(scores, "docid")
+            .select("docid", "sort_key", "score")
+            .orderBy(F.desc("sort_key"), F.asc("docid"))
+        )
+
+    def _doclen_all(self):
+        """Per-generation int32 doclen array indexed by docid — the
+        serving tier's norms table (pyarrow read, cached)."""
+        if self._doclen_arr is None:
+            import numpy as np
+            import pyarrow.dataset as ds
+
+            tab = ds.dataset(
+                f"{self.index_dir}/docmap", partitioning="hive"
+            ).to_table(columns=["docid", "doclen"])
+            ids = tab.column("docid").to_numpy()
+            arr = np.zeros(int(ids.max()) + 1, dtype=np.int32)
+            arr[ids] = tab.column("doclen").to_numpy()
+            self._doclen_arr = arr
+        return self._doclen_arr
+
+    def search_local_sorted(
+        self,
+        query: str,
+        k: int = 10,
+        sort_by: str = "date",
+        rank: "dict[int, float] | None" = None,
+    ) -> list[tuple[int, float, float]]:
+        """Serving twin of ``search_sorted`` (no Spark job): pruned
+        pyarrow chunk read -> union of decoded docids -> vectorized
+        key -> top-k by (key desc, docid asc) -> BM25 for survivors
+        from the already-decoded tfs + the doclen array.  Returns
+        [(docid, sort_key, score)]; rank-identical to the Spark path
+        (same integer keys), scores agree to float tolerance."""
+        import math as _math
+
+        import numpy as np
+
+        from search_engine_spark.indexer.codec import (
+            TermChunk,
+            tf_norm_factor,
+        )
+        from search_engine_spark.ops.ranking import (
+            PUBLISH_RANGE_DAYS,
+            RANK_MOD,
+        )
+
+        if sort_by in ("relevance", "score"):
+            return [
+                (d, s, s) for d, s in self.search_local(query, k)
+            ]
+        if sort_by not in ("date", "pagerank"):
+            raise ValueError(f"unknown sortBy {sort_by!r}")
+        terms = list(dict.fromkeys(tokenize_query(query)))
+        if not terms:
+            return []
+        m = self.meta
+        by_term = self._local_term_rows(terms)
+        if not by_term:
+            return []
+        ss, bs = int(m["slab_size"]), int(m["block_size"])
+        decoded: dict[str, list] = {}
+        for t, rows_t in by_term.items():
+            parts = []
+            for r in rows_t:
+                c = r.get("_chunk") or TermChunk(
+                    r["postings"], r["skips"], r["block_max"]
+                )
+                local, tf, _dl = c.decode_all(bs)
+                parts.append((local + int(r["slab"]) * ss, tf))
+            decoded[t] = parts
+        all_ids = np.unique(
+            np.concatenate(
+                [g for ps in decoded.values() for g, _ in ps]
+            )
+        )
+        if sort_by == "date":
+            key = ((all_ids * 16807) % PUBLISH_RANGE_DAYS).astype(
+                np.float64
+            )
+        elif rank is None:
+            key = (
+                (all_ids * 2654435761) % RANK_MOD
+            ).astype(np.float64) / float(RANK_MOD)
+        else:
+            key = np.array(
+                [float(rank.get(int(d), 0.0)) for d in all_ids]
+            )
+        order = np.lexsort((all_ids, -key))[:k]
+        surv, skey = all_ids[order], key[order]
+        n, df_map = float(m["n_docs"]), self._local_df(terms)
+        k1, b, avgdl = float(m["k1"]), float(m["b"]), float(m["avgdl"])
+        dlall = self._doclen_all()
+        score = np.zeros(len(surv), dtype=np.float64)
+        for t in terms:
+            if t not in df_map:
+                continue
+            idf = _math.log(1.0 + (n - df_map[t] + 0.5) / (df_map[t] + 0.5))
+            for gids, tf in decoded[t]:
+                pos = np.searchsorted(gids, surv)
+                pos[pos >= len(gids)] = len(gids) - 1
+                hit = gids[pos] == surv
+                if not hit.any():
+                    continue
+                tfv = tf[pos[hit]].astype(np.float64)
+                dlv = dlall[surv[hit]].astype(np.float64)
+                score[hit] += idf * tf_norm_factor(tfv, dlv, k1, b, avgdl)
+        return [
+            (int(d), float(kk), float(s))
+            for d, kk, s in zip(surv, skey, score)
+        ]
+
     def count_matches(self, query: str) -> int:
         """A7 totalResults: exact count of docs matching >= 1 term.
 
@@ -1859,15 +2082,7 @@ class SearchEngine:
         ).astype(np.float64)
         if docids.size == 0:
             return []
-        if self._doclen_arr is None:
-            tab = ds.dataset(
-                f"{self.index_dir}/docmap", partitioning="hive"
-            ).to_table(columns=["docid", "doclen"])
-            ids = tab.column("docid").to_numpy()
-            arr = np.zeros(int(ids.max()) + 1, dtype=np.int32)
-            arr[ids] = tab.column("doclen").to_numpy()
-            self._doclen_arr = arr
-        dl = self._doclen_arr[docids].astype(np.float64)
+        dl = self._doclen_all()[docids].astype(np.float64)
         n, k1, b = float(m["n_docs"]), float(m["k1"]), float(m["b"])
         avgdl = float(m["avgdl"])
         dfv = float(docids.size)

@@ -45,6 +45,34 @@ def freshness_col(age_days):
     return F.exp(-0.01 * age_days.cast("double"))
 
 
+# --- sortBy key derivations (SearchRequestDTO.java:19 declares
+# sortBy in {relevance, date, pagerank}; the ES adapter never applies
+# it — SURVEY §2.1 S6 — so these implement the declared semantics).
+# The synthetic corpus carries no real dates or link graph, so both
+# keys are DETERMINISTIC pure functions of docid: exact integer math
+# that Spark, DuckDB and numpy all evaluate identically, which is what
+# lets the contract entries hash-gate the sort machinery itself.
+PUBLISH_RANGE_DAYS = 2557  # seven years of synthetic publish dates
+RANK_MOD = 1000003  # prime; Knuth-hash rank in [0, 1)
+
+
+def pub_day_col(docid_col):
+    """Synthetic publish day (offset 0..PUBLISH_RANGE_DAYS-1):
+    (docid * 16807) % 2557 — 16807 = 7^5, the Lehmer multiplier, so
+    consecutive docids land on scattered days."""
+    return (docid_col.cast("long") * F.lit(16807)) % F.lit(
+        PUBLISH_RANGE_DAYS
+    )
+
+
+def hash_rank_col(docid_col):
+    """Synthetic per-doc static rank in [0, 1): Knuth multiplicative
+    hash mod a prime, divided exactly (one IEEE division of exact
+    integers — bit-identical in every engine)."""
+    h = (docid_col.cast("long") * F.lit(2654435761)) % F.lit(RANK_MOD)
+    return h.cast("double") / F.lit(float(RANK_MOD))
+
+
 def pagerank_boost_col(score, pagerank, factor: float = 2.0):
     """X7: ES function_score MULTIPLY with log1p(factor * pagerank)."""
     return score * F.log1p(F.lit(factor) * pagerank)

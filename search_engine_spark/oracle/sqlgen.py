@@ -526,6 +526,52 @@ def bm25_page_sql(query: str, page: int = 1, size: int = 10) -> str:
     )
 
 
+def bm25_sorted_sql(query: str, sort_by: str, k: int = 20) -> str:
+    """sortBy twin (contract.q_bm25_sorted): docs matching any query
+    term, top-k by the deterministic docid-derived key (date: Lehmer
+    day offset; pagerank: Knuth hash rank — ops/ranking), each hit
+    with its BM25 score.  The rank division casts through DOUBLE so
+    both engines perform the same single IEEE division."""
+    from search_engine_spark.ops.ranking import PUBLISH_RANGE_DAYS, RANK_MOD
+
+    terms = tokenize_query(query)
+    if not terms:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS docid, "
+            "CAST(NULL AS DOUBLE) AS sort_key, "
+            "CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+        )
+    terms_in = ", ".join(f"'{t}'" for t in terms)
+    if sort_by == "date":
+        key = f"CAST((docid * 16807) % {PUBLISH_RANGE_DAYS} AS DOUBLE)"
+    else:
+        key = (
+            f"CAST((docid * 2654435761) % {RANK_MOD} AS DOUBLE) "
+            f"/ CAST({RANK_MOD} AS DOUBLE)"
+        )
+    return (
+        "WITH " + postings_cte() + ", "
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, "
+        "avg(doclen) AS avgdl FROM tl), "
+        "dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings "
+        f"WHERE term IN ({terms_in}) GROUP BY term), "
+        "scored AS (SELECT p.docid, "
+        "SUM(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * "
+        f"(p.tf * ({BM25_K1} + 1.0) / (p.tf + {BM25_K1} * "
+        f"(1.0 - {BM25_B} + {BM25_B} * p.doclen / s.avgdl)))) AS raw "
+        "FROM postings p JOIN dfs d ON p.term = d.term CROSS JOIN stats s "
+        f"WHERE p.term IN ({terms_in}) GROUP BY p.docid), "
+        f"keyed AS (SELECT docid, {key} AS sort_key FROM "
+        "(SELECT DISTINCT docid FROM postings "
+        f"WHERE term IN ({terms_in}))), "
+        "top AS (SELECT * FROM keyed "
+        f"ORDER BY sort_key DESC, docid LIMIT {k}) "
+        "SELECT t.docid, t.sort_key, ROUND(s.raw, 4) AS score "
+        "FROM top t JOIN scored s ON s.docid = t.docid "
+        "ORDER BY t.sort_key DESC, t.docid"
+    )
+
+
 def bm25_after_sql(query: str, k: int = 10) -> str:
     """Keyset-pagination twin (contract.q_bm25_after): rank rows
     k+1..2k of the dedup BM25 ordering.  The oracle ranks on the RAW
