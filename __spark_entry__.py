@@ -296,6 +296,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_sort_rank"] = partial(
         C.q_bm25_sorted, query=PAGE_QUERY, sort_by="pagerank", k=20
     )
+    # tombstone-delete masked-ranking invariant (engine.delete /
+    # Lucene deleted-docs rule) — sweep tail
+    q["bm25_deleted_q1"] = partial(
+        C.q_bm25_deleted, query=PAGE_QUERY, k=10
+    )
     # round-5 fuzzy/prefix need two window slots: bm25_full_q3 joins
     # the tail (its bare BEST_FIELDS + pagerank computation is a
     # strict subset of bm25_full_q1's, which stays gated) and
@@ -341,6 +346,7 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_after_q1"] = O.bm25_after_sql(PAGE_QUERY, 10)
     o["bm25_sort_date"] = O.bm25_sorted_sql(PAGE_QUERY, "date", 20)
     o["bm25_sort_rank"] = O.bm25_sorted_sql(PAGE_QUERY, "pagerank", 20)
+    o["bm25_deleted_q1"] = O.bm25_deleted_sql(PAGE_QUERY, 10)
     # scan and positional phrase forms are identical by construction,
     # so each phrase's two entries share one oracle (the ann_* pattern)
     o["bm25_phrase_q1"] = O.bm25_phrase_sql(PHRASE_QUERIES["bm25_phrase_q1"], 10)

@@ -117,6 +117,12 @@ class SearchEngine:
             and self.store.exists("term_slabs")
             else None
         )
+        # tombstones (delete_documents): False = not yet loaded this
+        # generation; None = none pending; ndarray = sorted global
+        # docids.  Loaded lazily, dropped by refresh() like every
+        # other generation-scoped cache.
+        self._tomb: "bool | None" = False
+        self._tombdf = None
         return self
 
     # -- construction ----------------------------------------------------
@@ -193,6 +199,91 @@ class SearchEngine:
             .select("term", "idf")
         )
         return rows
+
+    # -- deletes (tombstones) --------------------------------------------
+    def delete(self, docids=None, where=None) -> int:
+        """Tombstone documents (indexer.build.delete_documents) and
+        refresh this engine so queries exclude them immediately.
+        Stats (n_docs/avgdl/df) stay pre-delete until a purging
+        compact_index (which also clears the tombstones) — the Lucene
+        deleted-docs rule.  Returns the live tombstone count."""
+        from search_engine_spark.indexer.build import delete_documents
+
+        n = delete_documents(self.spark, self.index_dir, docids, where)
+        self.refresh()
+        return n
+
+    def _tombstones_arr(self):
+        """Sorted global docids pending deletion, or None.  The
+        live-deletes working set (Lucene liveDocs analog): bounded
+        driver-side until compaction reclaims it."""
+        if self._tomb is False:
+            import numpy as np
+
+            if self.store.exists("tombstones", self.spark):
+                if self.store.kind == "parquet":
+                    import pyarrow.dataset as ds
+
+                    ids = (
+                        ds.dataset(f"{self.index_dir}/tombstones")
+                        .to_table(columns=["docid"])
+                        .column("docid")
+                        .to_numpy()
+                    )
+                else:
+                    ids = np.array(
+                        [
+                            int(r["docid"])
+                            for r in self.store.read(
+                                self.spark, "tombstones"
+                            ).collect()
+                        ],
+                        dtype=np.int64,
+                    )
+                self._tomb = (
+                    np.unique(ids.astype(np.int64)) if len(ids) else None
+                )
+            else:
+                self._tomb = None
+        return self._tomb
+
+    def _n_tomb(self) -> int:
+        t = self._tombstones_arr()
+        return 0 if t is None else len(t)
+
+    def _drop_tombstones(self, df: DataFrame) -> DataFrame:
+        """Anti-join (docid) against the pending-delete set; no-op
+        without tombstones.  Exactness of the over-fetch pattern used
+        by the Spark-side top-k paths: a path that fetched
+        top-(k + |tombstones|) per group can lose at most
+        |tombstones| rows to this filter, so filtering then cutting
+        to k equals kernel-level exclusion (scores of surviving docs
+        are unaffected by other docs' deletion)."""
+        t = self._tombstones_arr()
+        if t is None:
+            return df
+        if self._tombdf is None:
+            self._tombdf = self.spark.createDataFrame(
+                [(int(d),) for d in t], "docid long"
+            )
+        return df.join(F.broadcast(self._tombdf), "docid", "left_anti")
+
+    def _tomb_locals_by_slab(self, slabs) -> dict:
+        """{slab: sorted slab-LOCAL deleted docids} for the serving
+        kernels' exclusion sets."""
+        import numpy as np
+
+        t = self._tombstones_arr()
+        if t is None:
+            return {}
+        ss = int(self.meta["slab_size"])
+        out = {}
+        for s in slabs:
+            lo = np.searchsorted(t, s * ss)
+            hi = np.searchsorted(t, (s + 1) * ss)
+            if hi > lo:
+                out[s] = t[lo:hi] - s * ss
+        return out
 
     def search(
         self,
@@ -297,7 +388,7 @@ class SearchEngine:
         scorer = make_slab_scorer(
             int(m["slab_size"]),
             int(m["block_size"]),
-            k,
+            k + self._n_tomb(),  # over-fetch covers pending deletes
             float(m["k1"]),
             float(m["b"]),
             float(m["avgdl"]),
@@ -306,7 +397,11 @@ class SearchEngine:
             after=after,
         )
         per_slab = seg.groupBy("slab").applyInPandas(scorer, schema=TOPK_SCHEMA)
-        return per_slab.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+        return (
+            self._drop_tombstones(per_slab)
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(k)
+        )
 
     def _content_vocab(self):
         """(term, df) over the CONTENT namespace — the fuzzy/prefix
@@ -454,13 +549,17 @@ class SearchEngine:
         scorer = make_slab_scorer(
             int(m["slab_size"]),
             int(m["block_size"]),
-            k,
+            k + self._n_tomb(),
             float(m["k1"]),
             float(m["b"]),
             av_c,
         )
         per = joined.groupBy("slab").applyInPandas(scorer, schema=TOPK_SCHEMA)
-        return per.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+        return (
+            self._drop_tombstones(per)
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(k)
+        )
 
     def search_advanced(
         self,
@@ -546,9 +645,10 @@ class SearchEngine:
         )
         joined = seg.join(F.broadcast(idfs), "term")
         n_required = len(orig) if mode == "and" else 0
+        kk = k + self._n_tomb()  # over-fetch covers pending deletes
         if pagerank is None:
             scorer = make_adv_slab_scorer_plain(
-                int(m["slab_size"]), int(m["block_size"]), k,
+                int(m["slab_size"]), int(m["block_size"]), kk,
                 float(m["k1"]), float(m["b"]), n_required=n_required,
             )
             per = joined.groupBy("slab").applyInPandas(
@@ -561,7 +661,7 @@ class SearchEngine:
                 F.col(pagerank.columns[1]).cast("double").alias("pr"),
             ).withColumn("slab", (F.col("docid") / slab_size).cast("int"))
             scorer = make_adv_slab_scorer(
-                slab_size, int(m["block_size"]), k,
+                slab_size, int(m["block_size"]), kk,
                 float(m["k1"]), float(m["b"]), PAGERANK_FACTOR,
                 missing=missing, n_required=n_required,
             )
@@ -570,7 +670,11 @@ class SearchEngine:
                 .cogroup(pr.groupBy("slab"))
                 .applyInPandas(scorer, schema=TOPK_SCHEMA)
             )
-        return per.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+        return (
+            self._drop_tombstones(per)
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(k)
+        )
 
     def search_advanced_with_meta(
         self,
@@ -686,7 +790,7 @@ class SearchEngine:
         scorer = make_batch_slab_scorer(
             int(m["slab_size"]),
             int(m["block_size"]),
-            k,
+            k + self._n_tomb(),  # over-fetch covers pending deletes
             float(m["k1"]),
             float(m["b"]),
             float(m["avgdl"]),
@@ -697,7 +801,8 @@ class SearchEngine:
         )
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
         return (
-            per.withColumn("rank", F.row_number().over(w))
+            self._drop_tombstones(per)
+            .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         )
 
@@ -773,7 +878,7 @@ class SearchEngine:
         scorer = make_batch_slab_scorer(
             int(m["slab_size"]),
             int(m["block_size"]),
-            k,
+            k + self._n_tomb(),
             float(m["k1"]),
             float(m["b"]),
             av_c,
@@ -783,7 +888,8 @@ class SearchEngine:
         )
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
         return (
-            per.withColumn("rank", F.row_number().over(w))
+            self._drop_tombstones(per)
+            .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         )
 
@@ -889,7 +995,7 @@ class SearchEngine:
         slab_size = int(m["slab_size"])
         if pagerank is None:
             scorer = make_batch_adv_slab_scorer(
-                slab_size, int(m["block_size"]), k,
+                slab_size, int(m["block_size"]), k + self._n_tomb(),
                 float(m["k1"]), float(m["b"]),
             )
             per = joined.groupBy("qid", "slab").applyInPandas(
@@ -901,7 +1007,7 @@ class SearchEngine:
                 F.col(pagerank.columns[1]).cast("double").alias("pr"),
             ).withColumn("slab", (F.col("docid") / slab_size).cast("int"))
             scorer = make_batch_adv_cogroup_scorer(
-                slab_size, int(m["block_size"]), k,
+                slab_size, int(m["block_size"]), k + self._n_tomb(),
                 float(m["k1"]), float(m["b"]), PAGERANK_FACTOR,
                 missing=missing,
             )
@@ -912,7 +1018,8 @@ class SearchEngine:
             )
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
         return (
-            per.withColumn("rank", F.row_number().over(w))
+            self._drop_tombstones(per)
+            .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         )
 
@@ -1263,7 +1370,20 @@ class SearchEngine:
             excl_by_slab = {
                 s: np.unique(np.concatenate(ps)) for s, ps in parts.items()
             }
-        if not exclude_terms:
+        tomb_local = self._tomb_locals_by_slab(by_slab.keys())
+        if tomb_local:
+            import numpy as np
+
+            for s, arr in tomb_local.items():
+                cur = excl_by_slab.get(s)
+                excl_by_slab[s] = (
+                    arr if cur is None
+                    else np.unique(np.concatenate([cur, arr]))
+                )
+        if not exclude_terms and not tomb_local:
+            # pending deletes take the per-slab kernels (which accept
+            # exclusion sets); a purging compaction restores the
+            # fused fast path
             fused = self._fused_dense(by_term, by_slab, idf, k, after=after)
             if fused is not None:
                 return fused
@@ -1684,7 +1804,7 @@ class SearchEngine:
         terms = tokenize_query(query)
         if not terms:
             return self.spark.createDataFrame([], empty)
-        dec = self._decoded_postings_df(terms)
+        dec = self._drop_tombstones(self._decoded_postings_df(terms))
         cand = dec.select("docid").distinct()
         if sort_by == "date":
             keyed = cand.withColumn(
@@ -1799,6 +1919,11 @@ class SearchEngine:
                 [g for ps in decoded.values() for g, _ in ps]
             )
         )
+        tomb = self._tombstones_arr()
+        if tomb is not None and len(all_ids):
+            from search_engine_spark.query.wand import _not_in_sorted
+
+            all_ids = all_ids[_not_in_sorted(all_ids, tomb)]
         if sort_by == "date":
             key = ((all_ids * 16807) % PUBLISH_RANGE_DAYS).astype(
                 np.float64
@@ -1844,7 +1969,12 @@ class SearchEngine:
         terms = tokenize_query(query)
         if not terms:
             return 0
-        if len(terms) == 1 and self._term_slab_cache is not None:
+        tomb = self._tombstones_arr()
+        if (
+            len(terms) == 1
+            and self._term_slab_cache is not None
+            and tomb is None  # pending deletes need the decode path
+        ):
             # Single-term fast path (A7): the (term, slab) inventory's
             # df column already counts distinct matching docs per slab
             # (generation chunks within a slab cover disjoint docid
@@ -1864,18 +1994,27 @@ class SearchEngine:
         from search_engine_spark.indexer.codec import TermChunk
 
         block_size = int(self.meta["block_size"])
+        ss = int(self.meta["slab_size"])
 
         def count_group(pdf: pd.DataFrame) -> pd.DataFrame:
             import numpy as np
 
+            slab = int(pdf["slab"].iloc[0])
             ids = [
                 TermChunk(r.postings, r.skips, r.block_max).decode_all(
                     block_size
                 )[0]
                 for r in pdf.itertuples()
             ]
-            n = len(np.unique(np.concatenate(ids))) if ids else 0
-            return pd.DataFrame({"n": [n]})
+            if not ids:
+                return pd.DataFrame({"n": [0]})
+            u = np.unique(np.concatenate(ids))
+            if tomb is not None and len(u):
+                g = u + slab * ss
+                pos = np.searchsorted(tomb, g)
+                pos[pos >= len(tomb)] = len(tomb) - 1
+                u = u[tomb[pos] != g]
+            return pd.DataFrame({"n": [len(u)]})
 
         seg = self._pruned_segments(terms).select(
             "slab", "postings", "skips", "block_max"
@@ -1983,7 +2122,7 @@ class SearchEngine:
         # current one at the next call or refresh()
         if self._phrase_matches is not None:
             self._phrase_matches.unpersist()
-        matches = matches.persist()
+        matches = self._drop_tombstones(matches).persist()
         self._phrase_matches = matches
         dfv = float(matches.count())
         if dfv == 0.0:
@@ -2080,6 +2219,12 @@ class SearchEngine:
         ptf = np.concatenate(
             [p["ptf"].to_numpy() for p in parts]
         ).astype(np.float64)
+        tomb = self._tombstones_arr()
+        if tomb is not None and docids.size:
+            from search_engine_spark.query.wand import _not_in_sorted
+
+            keep = _not_in_sorted(docids, tomb)
+            docids, ptf = docids[keep], ptf[keep]
         if docids.size == 0:
             return []
         dl = self._doclen_all()[docids].astype(np.float64)

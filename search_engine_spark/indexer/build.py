@@ -333,7 +333,10 @@ def append_documents(
     metrics: dict = {}
     t0 = time.time()
     existing = store.read(spark, "docmap")
-    base = int(meta["n_docs"])
+    # docid watermark: n_docs until the first purging compaction,
+    # after which live count < watermark (deleted docids leave holes;
+    # they are NEVER reused, so external references stay valid)
+    base = int(meta.get("next_docid", meta["n_docs"]))
     gen = int(meta.get("max_gen", 0)) + 1
 
     tok = tokens_udf_col("content") if use_arrow_udf else tokens_col("content")
@@ -378,7 +381,8 @@ def append_documents(
     store.refresh(spark, "docmap")
 
     # refreshed corpus stats (exact, over the full docmap)
-    n_docs = base + n_new
+    n_docs = int(meta["n_docs"]) + n_new
+    next_docid = base + n_new
     new_stats = store.read(spark, "docmap").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.avg("doclen").alias("avgdl"),
@@ -413,6 +417,7 @@ def append_documents(
     )
 
     meta["n_docs"] = n_docs
+    meta["next_docid"] = next_docid
     meta["avgdl"] = avgdl
     meta["norm_avgdl"] = min(float(meta["norm_avgdl"]), avgdl)
     meta["avgdl_title"] = avgdl_title
@@ -420,7 +425,8 @@ def append_documents(
         float(meta.get("norm_avgdl_title", avgdl_title)), avgdl_title
     )
     meta["max_gen"] = gen
-    meta["n_slabs"] = max(1, math.ceil(n_docs / cfg.slab_size))
+    # slabs cover the docid RANGE (watermark), not the live count
+    meta["n_slabs"] = max(1, math.ceil(next_docid / cfg.slab_size))
     L.append_lineage(
         spark,
         index_dir,
@@ -435,6 +441,66 @@ def append_documents(
     metrics["append_sec"] = time.time() - t0
     metrics["n_docs"] = n_docs
     return metrics
+
+
+def delete_documents(
+    spark: SparkSession,
+    index_dir: str,
+    docids=None,
+    where=None,
+) -> int:
+    """Tombstone deletes — the ES delete-by-id / delete_by_query
+    analog the LSM write path was missing (the reference's adapter
+    exposes document CRUD through Spring Data; SURVEY §2.1 S5/S7).
+
+    Marks documents deleted by writing their docids to a
+    ``tombstones`` table; queries exclude them immediately (call
+    ``engine.refresh()`` after, the same rule as append/compact), and
+    BM25 corpus statistics (n_docs / avgdl / df) intentionally stay
+    pre-delete until a purging ``compact_index`` — the Lucene
+    deleted-docs rule (liveDocs mask now, stats corrected at merge).
+    The tombstone set is the live-deletes working set (Lucene's
+    liveDocs bitmap analog): bounded driver-side and shipped to the
+    kernels as sorted arrays; compaction physically reclaims the
+    postings and clears the table.
+
+    ``docids``: iterable of ints or a single-column DataFrame;
+    ``where``: a pyspark Column predicate evaluated against docmap
+    (delete_by_query).  Exactly one must be given.  Unknown docids are
+    tolerated (they exclude nothing).  Returns the live tombstone
+    count after the call."""
+    from pyspark.sql import DataFrame as _DF
+
+    from search_engine_spark.catalog import store_for
+
+    if (docids is None) == (where is None):
+        raise ValueError("pass exactly one of docids= / where=")
+    store = store_for(index_dir)
+    if where is not None:
+        docmap = store.read(spark, "docmap")
+        ids = {
+            int(r["docid"])
+            for r in docmap.filter(where).select("docid").collect()
+        }
+    elif isinstance(docids, _DF):
+        col = docids.columns[0]
+        ids = {int(r[col]) for r in docids.select(col).collect()}
+    else:
+        ids = {int(d) for d in docids}
+    if store.exists("tombstones", spark):
+        ids |= {
+            int(r["docid"])
+            for r in store.read(spark, "tombstones").collect()
+        }
+    if not ids:
+        return 0
+    store.write(
+        spark.createDataFrame([(d,) for d in sorted(ids)], "docid long"),
+        "tombstones",
+        coalesce=1,
+    )
+    store.refresh(spark, "tombstones")
+    return len(ids)
 
 
 def resolve_compact_mode(compact: bool | str, meta: dict) -> str:
@@ -480,8 +546,19 @@ def compact_index(
     generation's avgdl basis, so norm_avgdl is PRESERVED and queries
     stay exact via bound_scale.  The scale path for frequent merges;
     run a re-encode compaction occasionally to re-tighten bounds.
+
+    Pending tombstones (delete_documents) are PURGED here — the
+    Lucene merge-applies-deletes rule: the docmap drops the deleted
+    rows, postings re-encode without them (a term whose postings
+    empty out vanishes), df/term_slabs/stats/meta refresh to the live
+    corpus, and the tombstone table clears.  Purging requires the
+    decode path, so pending deletes force ``mode="reencode"``.
+    Deleted docids are never reused (meta.next_docid watermark), so
+    docids stay stable across the purge.
     """
     import shutil
+
+    import numpy as np
 
     from search_engine_spark.catalog import store_for
     from search_engine_spark.indexer.merge import merge_segments, splice_segments
@@ -495,13 +572,52 @@ def compact_index(
         k1=float(meta["k1"]),
         b=float(meta["b"]),
     )
+    tomb = None
+    if store.exists("tombstones", spark):
+        rows = store.read(spark, "tombstones").collect()
+        if rows:
+            tomb = np.unique(
+                np.array([int(r["docid"]) for r in rows], dtype=np.int64)
+            )
+    if tomb is not None:
+        mode = "reencode"  # splice cannot drop postings
+        # the watermark must survive the live-count drop BEFORE
+        # n_docs is rewritten below
+        meta["next_docid"] = int(meta.get("next_docid", meta["n_docs"]))
+        # purge the docmap first and recompute live-corpus stats —
+        # the re-encode must use the POST-delete avgdl as its basis
+        dm = store.read(spark, "docmap")
+        tombdf = spark.createDataFrame(
+            [(int(d),) for d in tomb], "docid long"
+        )
+        kept = dm.join(F.broadcast(tombdf), "docid", "left_anti")
+        if store.kind == "parquet":
+            tmp_dm = f"{index_dir}/docmap_compact"
+            kept.write.mode("overwrite").parquet(tmp_dm)
+            shutil.rmtree(f"{index_dir}/docmap")
+            os.rename(tmp_dm, f"{index_dir}/docmap")
+        else:
+            store.write(kept, "docmap")
+        store.refresh(spark, "docmap")
+        new_stats = store.read(spark, "docmap").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.avg("doclen").alias("avgdl"),
+            F.avg("title_len").alias("avgdl_title"),
+        )
+        srow = new_stats.collect()[0]
+        meta["n_docs"] = int(srow[0])
+        meta["avgdl"] = float(srow[1]) if srow[1] is not None else 0.0
+        meta["avgdl_title"] = (
+            float(srow[2]) if srow[2] is not None else 0.0
+        )
+        store.write(new_stats, "stats", coalesce=1)
     avgdl = float(meta["avgdl"])
     avgdl_title = float(meta.get("avgdl_title", avgdl))
     all_seg = store.read(spark, "segments")
     if mode == "splice":
         compacted = splice_segments(all_seg)
     else:
-        compacted = merge_segments(all_seg, cfg, avgdl, avgdl_title)
+        compacted = merge_segments(all_seg, cfg, avgdl, avgdl_title, tomb)
     if store.kind == "parquet":
         # parquet cannot atomically replace a table it is reading
         # from: write aside, swap directories
@@ -518,6 +634,18 @@ def compact_index(
     # equivalent path plans)
     store.refresh(spark, "segments")
     write_term_slabs(spark, store)
+    if tomb is not None:
+        # df over the purged postings — one pruned read of the fresh
+        # inventory (the append path's discipline); terms whose
+        # postings emptied out simply have no rows anymore
+        store.write(
+            store.read(spark, "term_slabs")
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df")),
+            "df",
+        )
+        store.refresh(spark, "df")
+        store.drop("tombstones", spark)
     if mode != "splice":
         # re-encode refreshed every bound to the current avgdl;
         # splice keeps per-generation bases, so norm_avgdl must stay

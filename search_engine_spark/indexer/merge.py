@@ -31,20 +31,38 @@ from search_engine_spark.indexer.segments import SEGMENT_SCHEMA
 
 
 def make_segment_merger(
-    cfg: EngineConfig, avgdl: float, avgdl_title: float | None = None
+    cfg: EngineConfig,
+    avgdl: float,
+    avgdl_title: float | None = None,
+    drop: np.ndarray | None = None,
 ):
     """Per-(slab, bucket) merger.  Title-namespace terms (TITLE_PREFIX)
     re-encode with the title field's avgdl; everything else with the
     content avgdl — block-max bounds stay per-field-exact after
-    compaction."""
+    compaction.
+
+    ``drop`` (sorted unique GLOBAL docids — the tombstone set) purges
+    deleted documents during the re-encode: their postings simply
+    never reach the new chunks, and a term whose postings empty out
+    vanishes from the segments table entirely (its df follows from the
+    emitted rows).  This is the Lucene merge-applies-deletes rule —
+    deletions cost nothing at delete time and are physically reclaimed
+    here."""
     from search_engine_spark.config import TITLE_PREFIX
 
     block_size = cfg.block_size
     k1, b = cfg.k1, cfg.b
+    slab_size = cfg.slab_size
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         slab = int(pdf["slab"].iloc[0])
         bucket = int(pdf["bucket"].iloc[0])
+        drop_local = None
+        if drop is not None and len(drop):
+            lo = np.searchsorted(drop, slab * slab_size)
+            hi = np.searchsorted(drop, (slab + 1) * slab_size)
+            if hi > lo:
+                drop_local = drop[lo:hi] - slab * slab_size
         terms: list[str] = []
         parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         counts: list[int] = []
@@ -62,6 +80,13 @@ def make_segment_merger(
             d = np.concatenate(ds)
             t = np.concatenate(ts)
             l = np.concatenate(ls)
+            if drop_local is not None:
+                pos = np.searchsorted(drop_local, d)
+                pos[pos >= len(drop_local)] = len(drop_local) - 1
+                keep = drop_local[pos] != d
+                d, t, l = d[keep], t[keep], l[keep]
+                if len(d) == 0:
+                    continue
             order = np.argsort(d, kind="mergesort")
             parts.append((d[order], t[order], l[order]))
             terms.append(term)
@@ -117,9 +142,11 @@ def merge_segments(
     cfg: EngineConfig,
     avgdl: float,
     avgdl_title: float | None = None,
+    drop: np.ndarray | None = None,
 ) -> DataFrame:
     return segments.groupBy("slab", "bucket").applyInPandas(
-        make_segment_merger(cfg, avgdl, avgdl_title), schema=SEGMENT_SCHEMA
+        make_segment_merger(cfg, avgdl, avgdl_title, drop),
+        schema=SEGMENT_SCHEMA,
     )
 
 

@@ -612,6 +612,44 @@ def bm25_after_sql(query: str, k: int = 10) -> str:
     )
 
 
+def bm25_deleted_sql(query: str, k: int = 10) -> str:
+    """Masked-ranking twin (contract.q_bm25_deleted): the dedup BM25
+    ranking minus the documents at ranks 1, 3 and 5 — the tombstone
+    invariant (scores unchanged, specific docs removed)."""
+    terms = tokenize_query(query)
+    if not terms:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS docid, "
+            "CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+        )
+    terms_in = ", ".join(f"'{t}'" for t in terms)
+    return (
+        "WITH surv AS (SELECT doc_id, text FROM documents "
+        "QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1), "
+        "toks AS (SELECT doc_id AS docid, "
+        f"{duckdb_tokens_sql('text')} AS toks FROM surv), "
+        "tl AS (SELECT docid, toks, len(toks) AS doclen FROM toks), "
+        "exploded AS (SELECT docid, doclen, unnest(toks) AS term FROM tl), "
+        "postings AS (SELECT term, docid, CAST(count(*) AS INT) AS tf, "
+        "doclen FROM exploded GROUP BY term, docid, doclen), "
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, "
+        "avg(doclen) AS avgdl FROM tl), "
+        "dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings "
+        f"WHERE term IN ({terms_in}) GROUP BY term), "
+        "scored AS (SELECT p.docid, "
+        "SUM(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * "
+        f"(p.tf * ({BM25_K1} + 1.0) / (p.tf + {BM25_K1} * "
+        f"(1.0 - {BM25_B} + {BM25_B} * p.doclen / s.avgdl)))) AS raw "
+        "FROM postings p JOIN dfs d ON p.term = d.term CROSS JOIN stats s "
+        f"WHERE p.term IN ({terms_in}) GROUP BY p.docid), "
+        "ranked AS (SELECT docid, raw, row_number() OVER "
+        "(ORDER BY raw DESC, docid) AS rn FROM scored) "
+        "SELECT docid, ROUND(raw, 4) AS score FROM ranked "
+        "WHERE rn NOT IN (1, 3, 5) "
+        f"ORDER BY raw DESC, docid LIMIT {k}"
+    )
+
+
 def ranked_blend_sql(query: str, k: int = 10, candidates: int = 40) -> str:
     """Twin of contract.q_ranked_blend: BM25 candidates -> min-max
     bm25norm -> quality -> 0.35/0.20 blend clamped to [0,1] (pagerank/
