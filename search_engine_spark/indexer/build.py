@@ -333,6 +333,14 @@ def append_documents(
     metrics: dict = {}
     t0 = time.time()
     existing = store.read(spark, "docmap")
+    # dedup against LIVE content only: a document whose content
+    # matches a tombstoned (deleted-but-not-yet-purged) doc must be
+    # re-insertable — delete followed by re-add yields a NEW docid
+    seen = existing
+    if store.exists("tombstones", spark):
+        seen = existing.join(
+            store.read(spark, "tombstones"), "docid", "left_anti"
+        )
     # docid watermark: n_docs until the first purging compaction,
     # after which live count < watermark (deleted docids leave holes;
     # they are NEVER reused, so external references stay valid)
@@ -352,7 +360,7 @@ def append_documents(
     # cluster use reliable checkpoint() with a checkpoint dir.)
     fresh = (
         assign_docids(
-            dedup_incremental(new_docs, existing.select("content_sha256"))
+            dedup_incremental(new_docs, seen.select("content_sha256"))
         )
         .withColumn("docid", (F.col("docid") + base).cast("long"))
         .withColumn("tokens", tok)
@@ -440,6 +448,63 @@ def append_documents(
         compact_index(spark, index_dir, mode=mode)
     metrics["append_sec"] = time.time() - t0
     metrics["n_docs"] = n_docs
+    return metrics
+
+
+def update_documents(
+    spark: SparkSession,
+    index_dir: str,
+    new_docs: DataFrame,
+    use_arrow_udf: bool = True,
+    compact: bool | str = False,
+) -> dict:
+    """Index-time upsert (the ES index-with-same-id analog): a new
+    version of a document replaces the old one, keyed by the canonical
+    identity (repo, path) — SURVEY F7's URL-normalization analog for a
+    code corpus.
+
+    Composition of the two existing primitives: superseded docids
+    (same key, DIFFERENT content sha) are tombstoned, then the batch
+    appends as a fresh generation — the replacement shows up at the
+    caller's ``engine.refresh()``, old versions are physically
+    reclaimed by the next purging compaction, and docids of replaced
+    versions are never reused.  A doc whose content is unchanged for
+    its key is a no-op (its sha dedups away and nothing is deleted).
+    Corpus-wide exact dedup still applies: new content identical to a
+    LIVE doc under a different key is not re-added (the global
+    content-dedup policy, J2).
+
+    Returns the append metrics plus ``n_replaced``."""
+    from pyspark.sql import functions as F  # noqa: F811 (module-local)
+
+    from search_engine_spark.catalog import store_for
+
+    store = store_for(index_dir)
+    existing = store.read(spark, "docmap")
+    if store.exists("tombstones", spark):
+        # only LIVE docs can be replaced — an already-tombstoned old
+        # version must not be counted (or deleted) again
+        existing = existing.join(
+            store.read(spark, "tombstones"), "docid", "left_anti"
+        )
+    incoming = (
+        new_docs.withColumn("_sha", F.sha2(F.col("content"), 256))
+        .select("repo", "path", "_sha")
+        .distinct()
+    )
+    stale = (
+        existing.join(incoming, ["repo", "path"])
+        .filter(F.col("content_sha256") != F.col("_sha"))
+        .select("docid")
+        .distinct()
+    )
+    stale_ids = sorted(int(r["docid"]) for r in stale.collect())
+    if stale_ids:
+        delete_documents(spark, index_dir, docids=stale_ids)
+    metrics = append_documents(
+        spark, index_dir, new_docs, use_arrow_udf, compact
+    )
+    metrics["n_replaced"] = len(stale_ids)
     return metrics
 
 
