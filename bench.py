@@ -200,6 +200,41 @@ def main() -> None:
         eng.search_local_prefix(p, 10)
     queries["prefix_serving_6q"] = round(time.time() - t0, 3)
 
+    # --- 2g. round-5 session-4 features: keyset pagination (three
+    # pages deep per query — each page costs one kernel pass, never
+    # re-materializing earlier pages), sortBy-date serving, and a
+    # serving pass with 200 pending tombstones (the deleted-docs
+    # masking overhead before a purge compaction) ---
+    t0 = time.time()
+    for q in list(REFERENCE_QUERIES.values())[:6]:
+        cur = None
+        for _ in range(3):
+            page = eng.search_local(q, 10, after=cur)
+            if len(page) < 10:
+                break
+            cur = (page[-1][1], page[-1][0])
+    queries["after_pages_6x3"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    for q in list(REFERENCE_QUERIES.values())[:6]:
+        eng.search_local_sorted(q, 10, "date")
+    queries["sorted_serving_6q"] = round(time.time() - t0, 3)
+    from search_engine_spark.indexer.build import delete_documents
+
+    delete_documents(
+        spark, idx_dir, docids=range(0, 2000, 10)  # 200 tombstones
+    )
+    eng.refresh()
+    t0 = time.time()
+    for q in list(REFERENCE_QUERIES.values())[:6]:
+        eng.search_local(q, 10)
+    queries["deleted_serving_6q"] = round(time.time() - t0, 3)
+    # clear tombstones so the batch/contract sections below measure
+    # the undeleted index
+    import shutil as _sh
+
+    _sh.rmtree(f"{idx_dir}/tombstones", ignore_errors=True)
+    eng.refresh()
+
     # --- 3. batch throughput ---
     batch = {}
     for rep in range(4):
