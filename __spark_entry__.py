@@ -301,6 +301,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_deleted_q1"] = partial(
         C.q_bm25_deleted, query=PAGE_QUERY, k=10
     )
+    # ES terms-aggregation facets + more_like_this — sweep tail
+    q["bm25_facets_q1"] = partial(
+        C.q_bm25_facets, query=PAGE_QUERY, field="source", size=10
+    )
+    q["more_like_this_q1"] = partial(C.q_more_like_this, docid=42, k=10)
     # round-5 fuzzy/prefix need two window slots: bm25_full_q3 joins
     # the tail (its bare BEST_FIELDS + pagerank computation is a
     # strict subset of bm25_full_q1's, which stays gated) and
@@ -347,6 +352,8 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_sort_date"] = O.bm25_sorted_sql(PAGE_QUERY, "date", 20)
     o["bm25_sort_rank"] = O.bm25_sorted_sql(PAGE_QUERY, "pagerank", 20)
     o["bm25_deleted_q1"] = O.bm25_deleted_sql(PAGE_QUERY, 10)
+    o["bm25_facets_q1"] = O.bm25_facets_sql(PAGE_QUERY, "source", 10)
+    o["more_like_this_q1"] = O.more_like_this_sql(42, 10)
     # scan and positional phrase forms are identical by construction,
     # so each phrase's two entries share one oracle (the ann_* pattern)
     o["bm25_phrase_q1"] = O.bm25_phrase_sql(PHRASE_QUERIES["bm25_phrase_q1"], 10)

@@ -123,6 +123,8 @@ class SearchEngine:
         # other generation-scoped cache.
         self._tomb: "bool | None" = False
         self._tombdf = None
+        # serving-tier docmap field arrays (facets), per generation
+        self._field_arrs: dict = {}
         return self
 
     # -- construction ----------------------------------------------------
@@ -1847,6 +1849,191 @@ class SearchEngine:
             .select("docid", "sort_key", "score")
             .orderBy(F.desc("sort_key"), F.asc("docid"))
         )
+
+    def facet_counts(
+        self, query: str, field: str = "lang", size: int = 10
+    ) -> DataFrame:
+        """ES terms-aggregation over the match set (the `aggs` half of
+        a search request — search hits page, facets summarize): docs
+        matching ANY query term, counted per docmap ``field`` value,
+        top ``size`` buckets by (count desc, value asc).
+
+        Plan shape: pruned segment scan -> decode docids -> distinct
+        (one shuffle) -> broadcast-side join against the docmap
+        projection of (docid, field) -> partial-aggregated count ->
+        TakeOrdered.  The aggregation never touches content — only
+        the two projected columns — so at 100 TB it is a counted
+        semi-join, not a document scan.  Tombstoned docs are excluded
+        (facets over deleted docs would leak them back).
+        """
+        terms = tokenize_query(query)
+        empty = f"{field} string, cnt long"
+        if not terms:
+            return self.spark.createDataFrame([], empty)
+        cand = self._drop_tombstones(
+            self._decoded_postings_df(terms).select("docid").distinct()
+        )
+        return (
+            cand.join(self.docmap.select("docid", field), "docid")
+            .groupBy(field)
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc(field))
+            .limit(size)
+        )
+
+    def facet_counts_local(
+        self, query: str, field: str = "lang", size: int = 10
+    ) -> list[tuple[str, int]]:
+        """Serving twin of ``facet_counts`` (no Spark job): pruned
+        pyarrow chunk read -> union of decoded docids -> gather the
+        per-generation field array -> value counts.  Identical
+        buckets/counts to the Spark path (pure integer counting)."""
+        import numpy as np
+
+        from search_engine_spark.indexer.codec import TermChunk
+
+        terms = list(dict.fromkeys(tokenize_query(query)))
+        if not terms:
+            return []
+        by_term = self._local_term_rows(terms)
+        if not by_term:
+            return []
+        m = self.meta
+        ss, bs = int(m["slab_size"]), int(m["block_size"])
+        parts = []
+        for rows_t in by_term.values():
+            for r in rows_t:
+                c = r.get("_chunk") or TermChunk(
+                    r["postings"], r["skips"], r["block_max"]
+                )
+                local, _tf, _dl = c.decode_all(bs)
+                parts.append(local + int(r["slab"]) * ss)
+        ids = np.unique(np.concatenate(parts))
+        tomb = self._tombstones_arr()
+        if tomb is not None and len(ids):
+            from search_engine_spark.query.wand import _not_in_sorted
+
+            ids = ids[_not_in_sorted(ids, tomb)]
+        vals = self._field_all(field)[ids]
+        uniq, cnt = np.unique(vals, return_counts=True)
+        order = np.lexsort((uniq, -cnt))[:size]
+        return [(str(uniq[i]), int(cnt[i])) for i in order]
+
+    def _field_all(self, field: str):
+        """Per-generation object array docid -> docmap[field] for the
+        serving tier (pyarrow read, cached per field)."""
+        cache = self._field_arrs
+        if field not in cache:
+            import numpy as np
+            import pyarrow.dataset as ds
+
+            tab = ds.dataset(
+                f"{self.index_dir}/docmap", partitioning="hive"
+            ).to_table(columns=["docid", field])
+            ids = tab.column("docid").to_numpy()
+            arr = np.empty(int(ids.max()) + 1, dtype=object)
+            arr[ids] = tab.column(field).to_pylist()
+            cache[field] = arr
+        return cache[field]
+
+    def mlt_weights(
+        self, docid: int, max_terms: int = 25
+    ) -> dict[str, float]:
+        """more_like_this term selection (the ES MLT rule): the source
+        document's terms ranked by tf·idf, top ``max_terms`` (tie:
+        term asc), each becoming a plain should-clause at weight 1.0.
+        Deterministic — the same selection the serving twin and the
+        contract oracle compute."""
+        import math as _math
+
+        from search_engine_spark.tokenizer import py_tokenize
+
+        rows = (
+            self.docmap.filter(F.col("docid") == int(docid))
+            .select("content")
+            .collect()
+        )
+        if not rows:
+            raise KeyError(f"docid {docid} not in docmap")
+        toks = py_tokenize(rows[0]["content"])
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        df_map = self._local_df(list(tf)) if (
+            self.store.kind == "parquet"
+        ) else {
+            r["term"]: int(r["df"])
+            for r in self.df_table.filter(
+                F.col("term").isin(list(tf))
+            ).collect()
+        }
+        n = float(self.meta["n_docs"])
+        scored = [
+            (
+                tf[t] * _math.log(1.0 + (n - df_map[t] + 0.5) / (df_map[t] + 0.5)),
+                t,
+            )
+            for t in tf
+            if t in df_map
+        ]
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        return {t: 1.0 for _, t in scored[:max_terms]}
+
+    def more_like_this(
+        self, docid: int, k: int = 10, max_terms: int = 25
+    ) -> DataFrame:
+        """ES more_like_this: find documents similar to ``docid`` —
+        its top tf·idf terms become a bool.should BM25 query; the
+        source document itself is excluded from the results (fetch
+        k+1, drop, cut — exact)."""
+        w = self.mlt_weights(docid, max_terms)
+        if not w:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        top = self._search_weights(w, k + 1)
+        return (
+            top.filter(F.col("docid") != int(docid))
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(k)
+        )
+
+    def more_like_this_local(
+        self, docid: int, k: int = 10, max_terms: int = 25
+    ) -> list[tuple[int, float]]:
+        """Serving twin of ``more_like_this`` (no Spark job for the
+        search; the term selection reads one docmap row)."""
+        import pyarrow.dataset as ds
+
+        tab = ds.dataset(
+            f"{self.index_dir}/docmap", partitioning="hive"
+        ).to_table(
+            filter=ds.field("docid") == int(docid), columns=["content"]
+        )
+        if tab.num_rows == 0:
+            raise KeyError(f"docid {docid} not in docmap")
+        import math as _math
+
+        from search_engine_spark.tokenizer import py_tokenize
+
+        toks = py_tokenize(tab.column("content").to_pylist()[0])
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        df_map = self._local_df(list(tf))
+        n = float(self.meta["n_docs"])
+        scored = [
+            (
+                tf[t] * _math.log(1.0 + (n - df_map[t] + 0.5) / (df_map[t] + 0.5)),
+                t,
+            )
+            for t in tf
+            if t in df_map
+        ]
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        w = {t: 1.0 for _, t in scored[:max_terms]}
+        if not w:
+            return []
+        res = self._search_local_weights(w, k + 1)
+        return [(d, s) for d, s in res if d != int(docid)][:k]
 
     def _doclen_all(self):
         """Per-generation int32 doclen array indexed by docid — the

@@ -612,6 +612,56 @@ def bm25_after_sql(query: str, k: int = 10) -> str:
     )
 
 
+def bm25_facets_sql(
+    query: str, field: str = "source", size: int = 10
+) -> str:
+    """Terms-aggregation twin (contract.q_bm25_facets): match-set
+    counts per field value, top buckets by (count desc, value asc)."""
+    terms = tokenize_query(query)
+    if not terms:
+        return (
+            f"SELECT CAST(NULL AS VARCHAR) AS {field}, "
+            "CAST(NULL AS BIGINT) AS cnt WHERE 1=0"
+        )
+    terms_in = ", ".join(f"'{t}'" for t in terms)
+    return (
+        "WITH " + postings_cte() + ", "
+        "cand AS (SELECT DISTINCT docid FROM postings "
+        f"WHERE term IN ({terms_in})) "
+        f"SELECT d.{field}, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM cand c JOIN documents d ON d.doc_id = c.docid "
+        f"GROUP BY d.{field} "
+        f"ORDER BY cnt DESC, d.{field} LIMIT {size}"
+    )
+
+
+def more_like_this_sql(docid: int, k: int = 10, max_terms: int = 25) -> str:
+    """MLT twin (contract.q_more_like_this): the source doc's terms
+    ranked by tf·idf (tie term asc), top max_terms as weight-1.0
+    clauses, BM25 over the corpus minus the source doc."""
+    return (
+        "WITH " + postings_cte() + ", "
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, "
+        "avg(doclen) AS avgdl FROM tl), "
+        f"src AS (SELECT term, tf FROM postings WHERE docid = {docid}), "
+        "dfs AS (SELECT p.term, CAST(count(*) AS DOUBLE) AS df "
+        "FROM postings p JOIN src s ON s.term = p.term GROUP BY p.term), "
+        "sel AS (SELECT s.term FROM src s JOIN dfs d ON d.term = s.term "
+        "CROSS JOIN stats st "
+        "ORDER BY s.tf * ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5)) "
+        f"DESC, s.term LIMIT {max_terms}), "
+        "scored AS (SELECT p.docid, "
+        "SUM(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * "
+        f"(p.tf * ({BM25_K1} + 1.0) / (p.tf + {BM25_K1} * "
+        f"(1.0 - {BM25_B} + {BM25_B} * p.doclen / s.avgdl)))) AS raw "
+        "FROM postings p JOIN sel ON sel.term = p.term "
+        "JOIN dfs d ON d.term = p.term CROSS JOIN stats s "
+        f"WHERE p.docid != {docid} GROUP BY p.docid) "
+        "SELECT docid, ROUND(raw, 4) AS score FROM scored "
+        f"ORDER BY raw DESC, docid LIMIT {k}"
+    )
+
+
 def bm25_deleted_sql(query: str, k: int = 10) -> str:
     """Masked-ranking twin (contract.q_bm25_deleted): the dedup BM25
     ranking minus the documents at ranks 1, 3 and 5 — the tombstone
