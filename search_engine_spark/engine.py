@@ -2035,6 +2035,143 @@ class SearchEngine:
         res = self._search_local_weights(w, k + 1)
         return [(d, s) for d, s in res if d != int(docid)][:k]
 
+    def explain(self, query: str, docid: int) -> DataFrame:
+        """ES ``explain`` API: why does ``docid`` score what it scores
+        for ``query``?  One row per matching query term — (term, tf,
+        df, idf, tfn, contribution) — whose contributions sum to the
+        document's ``search()`` score (pinned in pytest).
+
+        Plan shape: the pruned segment scan narrows to the terms'
+        buckets AND the document's single slab (docid // slab_size)
+        before any decode, so an explain costs one slab's chunks for
+        the query terms — O(query df within one slab), independent of
+        corpus size."""
+        terms = tokenize_query(query)
+        empty = (
+            "term string, tf int, df long, idf double, tfn double, "
+            "contribution double"
+        )
+        if not terms:
+            return self.spark.createDataFrame([], empty)
+        m = self.meta
+        ss = int(m["slab_size"])
+        slab = int(docid) // ss
+        k1, b = float(m["k1"]), float(m["b"])
+        avgdl = float(m["avgdl"])
+        dec = (
+            self._decoded_postings_df_sl(terms, slab)
+            .filter(F.col("docid") == int(docid))
+        )
+        dl = self.docmap.filter(F.col("docid") == int(docid)).select(
+            F.col("doclen").cast("double").alias("dl")
+        )
+        tfd = F.col("tf").cast("double")
+        tfn = tfd * (k1 + 1.0) / (
+            tfd + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+        )
+        return (
+            dec.join(
+                F.broadcast(
+                    self.df_table.filter(F.col("term").isin(terms))
+                ),
+                "term",
+            )
+            .crossJoin(F.broadcast(dl))
+            .withColumn(
+                "idf",
+                F.log1p(
+                    (F.lit(float(m["n_docs"])) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                ),
+            )
+            .withColumn("tfn", tfn)
+            .withColumn("contribution", F.col("idf") * F.col("tfn"))
+            .select("term", "tf", "df", "idf", "tfn", "contribution")
+            .orderBy(F.desc("contribution"), F.asc("term"))
+        )
+
+    def _decoded_postings_df_sl(
+        self, terms: list[str], slab: int
+    ) -> DataFrame:
+        """Single-slab variant of ``_decoded_postings_df`` — adds the
+        slab partition predicate so only that slab's files list."""
+        import pandas as pd
+
+        from search_engine_spark.indexer.codec import TermChunk
+
+        block_size = int(self.meta["block_size"])
+        ss = int(self.meta["slab_size"])
+
+        def gen(it):
+            for pdf in it:
+                for r in pdf.itertuples():
+                    local, tf, _dl = TermChunk(
+                        r.postings, r.skips, r.block_max
+                    ).decode_all(block_size)
+                    yield pd.DataFrame(
+                        {
+                            "term": r.term,
+                            "docid": local + r.slab * ss,
+                            "tf": tf.astype("int32"),
+                        }
+                    )
+
+        seg = (
+            self._pruned_segments(terms)
+            .filter(F.col("slab") == int(slab))
+            .select("slab", "term", "postings", "skips", "block_max")
+        )
+        return seg.mapInPandas(gen, schema="term string, docid long, tf int")
+
+    def explain_local(
+        self, query: str, docid: int
+    ) -> list[tuple[str, int, int, float, float, float]]:
+        """Serving twin of ``explain`` (no Spark job): same rows,
+        same floats to 1e-12."""
+        import math as _math
+
+        from search_engine_spark.indexer.codec import TermChunk
+
+        terms = list(dict.fromkeys(tokenize_query(query)))
+        if not terms:
+            return []
+        m = self.meta
+        ss, bs = int(m["slab_size"]), int(m["block_size"])
+        slab = int(docid) // ss
+        by_term = self._local_term_rows(terms)
+        n = float(m["n_docs"])
+        k1, b, avgdl = float(m["k1"]), float(m["b"]), float(m["avgdl"])
+        df_map = self._local_df(terms)
+        dl = float(self._doclen_all()[int(docid)])
+        out = []
+        for t, rows_t in by_term.items():
+            if t not in df_map:
+                continue
+            tf = 0
+            for r in rows_t:
+                if int(r["slab"]) != slab:
+                    continue
+                c = r.get("_chunk") or TermChunk(
+                    r["postings"], r["skips"], r["block_max"]
+                )
+                local, tfs, _dls = c.decode_all(bs)
+                import numpy as np
+
+                pos = np.searchsorted(local, int(docid) - slab * ss)
+                if pos < len(local) and local[pos] == int(docid) - slab * ss:
+                    tf = int(tfs[pos])
+                    break
+            if tf == 0:
+                continue
+            df = df_map[t]
+            idf = _math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            tfn = tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * dl / avgdl)
+            )
+            out.append((t, tf, df, idf, tfn, idf * tfn))
+        out.sort(key=lambda x: (-x[5], x[0]))
+        return out
+
     def _doclen_all(self):
         """Per-generation int32 doclen array indexed by docid — the
         serving tier's norms table (pyarrow read, cached)."""

@@ -662,6 +662,37 @@ def more_like_this_sql(docid: int, k: int = 10, max_terms: int = 25) -> str:
     )
 
 
+def bm25_explain_sql(query: str, docid: int) -> str:
+    """Explain twin (contract.q_bm25_explain): per-term breakdown for
+    one (query, doc) pair, transcendental columns at 6 dp."""
+    terms = tokenize_query(query)
+    if not terms:
+        return (
+            "SELECT CAST(NULL AS VARCHAR) AS term, CAST(NULL AS INT) AS tf, "
+            "CAST(NULL AS BIGINT) AS df, CAST(NULL AS DOUBLE) AS idf, "
+            "CAST(NULL AS DOUBLE) AS tfn, CAST(NULL AS DOUBLE) AS contrib "
+            "WHERE 1=0"
+        )
+    terms_in = ", ".join(f"'{t}'" for t in terms)
+    return (
+        "WITH " + postings_cte() + ", "
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, "
+        "avg(doclen) AS avgdl FROM tl), "
+        "dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings "
+        f"WHERE term IN ({terms_in}) GROUP BY term), "
+        "rowsx AS (SELECT p.term, CAST(p.tf AS INT) AS tf, d.df, "
+        "ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) AS idf_raw, "
+        f"(p.tf * ({BM25_K1} + 1.0) / (p.tf + {BM25_K1} * "
+        f"(1.0 - {BM25_B} + {BM25_B} * p.doclen / s.avgdl))) AS tfn_raw "
+        "FROM postings p JOIN dfs d ON d.term = p.term CROSS JOIN stats s "
+        f"WHERE p.term IN ({terms_in}) AND p.docid = {docid}) "
+        "SELECT term, tf, df, ROUND(idf_raw, 6) AS idf, "
+        "ROUND(tfn_raw, 6) AS tfn, "
+        "ROUND(idf_raw * tfn_raw, 6) AS contrib FROM rowsx "
+        "ORDER BY idf_raw * tfn_raw DESC, term"
+    )
+
+
 def bm25_deleted_sql(query: str, k: int = 10) -> str:
     """Masked-ranking twin (contract.q_bm25_deleted): the dedup BM25
     ranking minus the documents at ranks 1, 3 and 5 — the tombstone
