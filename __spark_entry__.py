@@ -310,6 +310,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_explain_q1"] = partial(
         C.q_bm25_explain, query=PAGE_QUERY, docid=42
     )
+    # ES bool.filter (non-scoring keyword-field constraint)
+    q["bm25_filter_q1"] = partial(
+        C.q_bm25_filtered, query=PAGE_QUERY, field="lang", value="zh", k=10
+    )
     # round-5 fuzzy/prefix need two window slots: bm25_full_q3 joins
     # the tail (its bare BEST_FIELDS + pagerank computation is a
     # strict subset of bm25_full_q1's, which stays gated) and
@@ -359,6 +363,7 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_facets_q1"] = O.bm25_facets_sql(PAGE_QUERY, "source", 10)
     o["more_like_this_q1"] = O.more_like_this_sql(42, 10)
     o["bm25_explain_q1"] = O.bm25_explain_sql(PAGE_QUERY, 42)
+    o["bm25_filter_q1"] = O.bm25_filtered_sql(PAGE_QUERY, "lang", "zh", 10)
     # scan and positional phrase forms are identical by construction,
     # so each phrase's two entries share one oracle (the ann_* pattern)
     o["bm25_phrase_q1"] = O.bm25_phrase_sql(PHRASE_QUERIES["bm25_phrase_q1"], 10)

@@ -40,6 +40,11 @@ STOPWORDS: tuple[str, ...] = (
 # Title terms share the segment store under a prefix namespace; '#'
 # can never appear in tokenizer output ([a-z0-9]+), so no collision.
 TITLE_PREFIX = "t#"
+# Metadata keyword terms (`m#<field>=<value>`, one posting per doc per
+# field) — the ES bool.filter / keyword-field namespace: filters push
+# down INTO the index (term + bucket + slab pruning all apply) instead
+# of post-filtering scored results.
+META_PREFIX = "m#"
 TITLE_BOOST = 3.0
 CONTENT_BOOST = 1.0
 TITLE_SYNONYM_BOOST = 2.0
@@ -76,4 +81,8 @@ class EngineConfig:
     # Index the title field (path basename tokens) under TITLE_PREFIX
     # for field-weighted (title^3/content^1) search.
     index_title: bool = True
+    # Docmap columns indexed as `m#field=value` keyword terms for
+    # bool.filter pushdown (one posting per doc per field — negligible
+    # build cost).  Empty tuple disables the namespace.
+    index_fields: tuple = ("lang", "repo")
     extra: dict = field(default_factory=dict)

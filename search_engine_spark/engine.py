@@ -287,6 +287,22 @@ class SearchEngine:
                 out[s] = t[lo:hi] - s * ss
         return out
 
+    @staticmethod
+    def _filter_groups(filters: "dict | None") -> list[list[str]]:
+        """bool.filter spec -> keyword-term groups: one group per
+        field (sorted for determinism), OR within a group (a list
+        value), AND across groups."""
+        if not filters:
+            return []
+        from search_engine_spark.indexer.postings import meta_term
+
+        groups = []
+        for f_ in sorted(filters):
+            v = filters[f_]
+            vals = v if isinstance(v, (list, tuple, set)) else [v]
+            groups.append(sorted(meta_term(f_, x) for x in vals))
+        return groups
+
     def search(
         self,
         query: str,
@@ -296,6 +312,7 @@ class SearchEngine:
         intent: bool = False,
         exclude: str | None = None,
         after: tuple[float, int] | None = None,
+        filter: "dict | None" = None,
     ) -> DataFrame:
         """Top-k (docid, score) via per-slab block-max WAND.
 
@@ -334,6 +351,13 @@ class SearchEngine:
         search_local respectively): the two paths' scores agree to
         1e-12 but not always bitwise, and the tie rule compares exact
         floats — the same contract ES sort values carry.
+
+        ``filter`` is ES bool.filter (non-scoring context): a dict of
+        docmap field -> value (or list of values, OR'd); fields AND
+        together.  Filters push down INTO the index as `m#field=value`
+        keyword postings (cfg.index_fields), so term/bucket/slab
+        pruning applies to the filter clauses too, admission happens
+        inside the kernels, and scores are untouched.
         """
         if expand:
             from search_engine_spark.query.expansion import expand_query
@@ -348,7 +372,8 @@ class SearchEngine:
                 weights.setdefault(t, w)
         exclude_terms = tokenize_query(exclude) if exclude else None
         return self._search_weights(
-            weights, k, mode=mode, exclude_terms=exclude_terms, after=after
+            weights, k, mode=mode, exclude_terms=exclude_terms,
+            after=after, filters=filter,
         )
 
     def _search_weights(
@@ -358,6 +383,7 @@ class SearchEngine:
         mode: str = "or",
         exclude_terms: list[str] | None = None,
         after: tuple[float, int] | None = None,
+        filters: "dict | None" = None,
     ) -> DataFrame:
         """Weighted-clause WAND core shared by search / search_fuzzy /
         search_prefix: per-term contribution = w_t * idf_t * tfn (the
@@ -386,6 +412,33 @@ class SearchEngine:
                 .select(*seg.columns)
             )
             seg = seg.unionByName(neg)
+        groups = self._filter_groups(filters)
+        if groups:
+            seg = seg.withColumn("inc", F.lit(None).cast("int"))
+            for gi, gterms in enumerate(groups):
+                fseg = (
+                    self._pruned_segments(gterms)
+                    .select("slab", "term", "postings", "skips", "block_max")
+                    .withColumn("idf", F.lit(None).cast("double"))
+                    .withColumn("inc", F.lit(gi).cast("int"))
+                    .select(*seg.columns)
+                )
+                seg = seg.unionByName(fseg)
+            # slab intersection: a phrase-style AND across groups — a
+            # slab where some field value never occurs cannot produce
+            # an admissible doc, so skip it before any scan
+            if self._term_slab_cache is not None:
+                allowed = self._slabs_for(terms)
+                for gterms in groups:
+                    gs = self._slabs_for(gterms)
+                    allowed = (
+                        gs if allowed is None
+                        else (allowed & gs if gs is not None else allowed)
+                    )
+                if allowed is not None:
+                    if not allowed:
+                        return self.spark.createDataFrame([], TOPK_SCHEMA)
+                    seg = seg.filter(F.col("slab").isin(sorted(allowed)))
         bound_scale = max(1.0, float(m["avgdl"]) / float(m["norm_avgdl"]))
         scorer = make_slab_scorer(
             int(m["slab_size"]),
@@ -397,6 +450,7 @@ class SearchEngine:
             bound_scale,
             n_required=len(terms) if mode == "and" else 0,
             after=after,
+            n_filter_groups=len(groups),
         )
         per_slab = seg.groupBy("slab").applyInPandas(scorer, schema=TOPK_SCHEMA)
         return (
@@ -407,12 +461,14 @@ class SearchEngine:
 
     def _content_vocab(self):
         """(term, df) over the CONTENT namespace — the fuzzy/prefix
-        expansion dictionary (title terms live under TITLE_PREFIX and
-        never match a bare query token)."""
-        from search_engine_spark.config import TITLE_PREFIX
+        expansion dictionary (title terms live under TITLE_PREFIX,
+        metadata keyword terms under META_PREFIX — neither can match a
+        bare query token)."""
+        from search_engine_spark.config import META_PREFIX, TITLE_PREFIX
 
         return self.df_table.filter(
             ~F.col("term").startswith(TITLE_PREFIX)
+            & ~F.col("term").startswith(META_PREFIX)
         ).select("term", "df")
 
     def fuzzy_weights(
@@ -1282,6 +1338,7 @@ class SearchEngine:
         k: int = 10,
         exclude: str | None = None,
         after: tuple[float, int] | None = None,
+        filter: "dict | None" = None,
     ) -> list[tuple[int, float]]:
         """Serving-path top-k: NO Spark job — pyarrow pruned read of
         the term/bucket segment files + the same numpy block-max WAND
@@ -1301,7 +1358,7 @@ class SearchEngine:
         exclude_terms = tokenize_query(exclude) if exclude else None
         return self._search_local_weights(
             {t: 1.0 for t in terms}, k,
-            exclude_terms=exclude_terms, after=after,
+            exclude_terms=exclude_terms, after=after, filters=filter,
         )
 
     def _search_local_weights(
@@ -1310,6 +1367,7 @@ class SearchEngine:
         k: int = 10,
         exclude_terms: list[str] | None = None,
         after: tuple[float, int] | None = None,
+        filters: "dict | None" = None,
     ) -> list[tuple[int, float]]:
         """Weighted-clause serving core (no Spark job): per-term
         contribution = w_t * idf_t * tfn.  ``search_local`` is the
@@ -1382,7 +1440,46 @@ class SearchEngine:
                     arr if cur is None
                     else np.unique(np.concatenate([cur, arr]))
                 )
-        if not exclude_terms and not tomb_local:
+        groups = self._filter_groups(filters)
+        inc_by_slab = None
+        if groups:
+            import numpy as np
+
+            from search_engine_spark.indexer.codec import TermChunk as _TC
+
+            per_group: list[dict[int, list]] = []
+            for gterms in groups:
+                rows_g = self._local_term_rows(gterms)
+                gsets: dict[int, list] = {}
+                for rows_t in rows_g.values():
+                    for r in rows_t:
+                        slab = int(r["slab"])
+                        if slab not in by_slab:
+                            continue
+                        c = r.get("_chunk") or _TC(
+                            r["postings"], r["skips"], r["block_max"]
+                        )
+                        local, _tf, _dl = c.decode_all(int(m["block_size"]))
+                        gsets.setdefault(slab, []).append(local)
+                per_group.append(gsets)
+            from search_engine_spark.query.wand import _in_sorted
+
+            inc_by_slab = {}
+            for slab in list(by_slab):
+                if not all(slab in g for g in per_group):
+                    del by_slab[slab]  # some field value absent here
+                    continue
+                inc = np.unique(np.concatenate(per_group[0][slab]))
+                for g in per_group[1:]:
+                    s2 = np.unique(np.concatenate(g[slab]))
+                    inc = inc[_in_sorted(inc, s2)]
+                if len(inc) == 0:
+                    del by_slab[slab]
+                else:
+                    inc_by_slab[slab] = inc
+            if not by_slab:
+                return []
+        if not exclude_terms and not tomb_local and not groups:
             # pending deletes take the per-slab kernels (which accept
             # exclusion sets); a purging compaction restores the
             # fused fast path
@@ -1412,6 +1509,10 @@ class SearchEngine:
                 bound_scale,
                 exclude=excl_by_slab.get(slab),
                 after=after,
+                include=(
+                    inc_by_slab.get(slab) if inc_by_slab is not None
+                    else None
+                ),
             )
 
         results = self._run_slabs(by_slab, score_one)
@@ -1453,7 +1554,7 @@ class SearchEngine:
         if self._local_vocab is None:
             import pyarrow.dataset as ds
 
-            from search_engine_spark.config import TITLE_PREFIX
+            from search_engine_spark.config import META_PREFIX, TITLE_PREFIX
 
             tab = ds.dataset(f"{self.index_dir}/df").to_table(
                 columns=["term", "df"]
@@ -1465,6 +1566,7 @@ class SearchEngine:
                     tab.column("df").to_pylist(),
                 )
                 if not t.startswith(TITLE_PREFIX)
+                and not t.startswith(META_PREFIX)
             }
         return self._local_vocab
 
@@ -2664,10 +2766,13 @@ class SearchEngine:
                 # the limit and (df desc, term asc) ordering, so the
                 # dictionary holds exactly the top-df dict_terms
                 # content terms and its boundary is deterministic.
+                from search_engine_spark.config import META_PREFIX
+
                 self._dym_dict = (dict_terms, {
                     r["term"]
                     for r in self.df_table.filter(
                         ~F.col("term").startswith(TITLE_PREFIX)
+                        & ~F.col("term").startswith(META_PREFIX)
                     )
                     .orderBy(F.desc("df"), F.asc("term"))
                     .limit(dict_terms)

@@ -128,6 +128,18 @@ def build_index(
     metrics["t_stats"] = round(time.time() - t0, 2)
 
     postings = build_postings(docmap_tok)
+    meta_fields = [
+        f_ for f_ in getattr(cfg, "index_fields", ()) or ()
+        if f_ in docmap_tok.columns
+    ]
+    if meta_fields:
+        from search_engine_spark.indexer.postings import (
+            build_meta_postings,
+        )
+
+        postings = postings.unionByName(
+            build_meta_postings(docmap_tok, meta_fields)
+        )
     keyed = postings_with_keys(postings, cfg).persist()
     keyed_title = None
     if cfg.index_title:
@@ -250,6 +262,7 @@ def build_index(
         "avgdl": avgdl,
         "norm_avgdl": avgdl,  # avgdl the block_max bounds were built with
         "index_title": bool(cfg.index_title),
+        "index_fields": list(meta_fields),
         "avgdl_title": avgdl_title,
         "norm_avgdl_title": avgdl_title,
         "n_slabs": n_slabs,
@@ -402,6 +415,18 @@ def append_documents(
 
     index_title = bool(meta.get("index_title", False))
     postings = build_postings(fresh)
+    meta_fields = [
+        f_ for f_ in meta.get("index_fields", []) or []
+        if f_ in fresh.columns
+    ]
+    if meta_fields:
+        from search_engine_spark.indexer.postings import (
+            build_meta_postings,
+        )
+
+        postings = postings.unionByName(
+            build_meta_postings(fresh, meta_fields)
+        )
     seg = build_segments(postings, cfg, avgdl, gen=gen)
     if index_title:
         seg = seg.unionByName(

@@ -59,6 +59,38 @@ def build_title_postings(docmap: DataFrame) -> DataFrame:
     )
 
 
+def build_meta_postings(docmap: DataFrame, fields) -> DataFrame:
+    """docmap metadata columns -> `m#<field>=<value>` keyword postings
+    (ES bool.filter namespace): exactly one posting per doc per field,
+    tf=1/doclen=1 (filter chunks are never scored; the columns exist
+    to share SEGMENT_SCHEMA and the whole segment pipeline — build,
+    pruning inventory, splice/re-encode compaction, tombstone purge
+    all apply unchanged)."""
+    from functools import reduce
+
+    from search_engine_spark.config import META_PREFIX
+
+    parts = [
+        docmap.select(
+            F.concat(
+                F.lit(META_PREFIX + f_ + "="), F.col(f_).cast("string")
+            ).alias("term"),
+            "docid",
+            F.lit(1).cast("int").alias("tf"),
+            F.lit(1).cast("int").alias("doclen"),
+        )
+        for f_ in fields
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def meta_term(field: str, value) -> str:
+    """The keyword term for a (field, value) filter clause."""
+    from search_engine_spark.config import META_PREFIX
+
+    return f"{META_PREFIX}{field}={value}"
+
+
 def build_df_table(postings: DataFrame) -> DataFrame:
     """postings -> (term, df): document frequency per term."""
     return postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))

@@ -693,6 +693,37 @@ def bm25_explain_sql(query: str, docid: int) -> str:
     )
 
 
+def bm25_filtered_sql(
+    query: str, field: str, value: str, k: int = 10
+) -> str:
+    """bool.filter twin (contract.q_bm25_filtered): the BM25 ranking
+    restricted to rows whose metadata field equals the value."""
+    terms = tokenize_query(query)
+    if not terms:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS docid, "
+            "CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+        )
+    terms_in = ", ".join(f"'{t}'" for t in terms)
+    return (
+        "WITH " + postings_cte() + ", "
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, "
+        "avg(doclen) AS avgdl FROM tl), "
+        "dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings "
+        f"WHERE term IN ({terms_in}) GROUP BY term), "
+        "scored AS (SELECT p.docid, "
+        "SUM(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * "
+        f"(p.tf * ({BM25_K1} + 1.0) / (p.tf + {BM25_K1} * "
+        f"(1.0 - {BM25_B} + {BM25_B} * p.doclen / s.avgdl)))) AS raw "
+        "FROM postings p JOIN dfs d ON p.term = d.term CROSS JOIN stats s "
+        f"WHERE p.term IN ({terms_in}) GROUP BY p.docid) "
+        "SELECT sc.docid, ROUND(sc.raw, 4) AS score FROM scored sc "
+        "JOIN documents doc ON doc.doc_id = sc.docid "
+        f"WHERE doc.{field} = '{value}' "
+        f"ORDER BY sc.raw DESC, sc.docid LIMIT {k}"
+    )
+
+
 def bm25_deleted_sql(query: str, k: int = 10) -> str:
     """Masked-ranking twin (contract.q_bm25_deleted): the dedup BM25
     ranking minus the documents at ranks 1, 3 and 5 — the tombstone

@@ -51,6 +51,18 @@ def _not_in_sorted(values: np.ndarray, excl: np.ndarray) -> np.ndarray:
     return excl[pos] != values
 
 
+def _in_sorted(values: np.ndarray, incl: np.ndarray) -> np.ndarray:
+    """Boolean mask over ``values``: True where the value IS in
+    ``incl`` (sorted ascending, unique) — the bool.filter admission
+    applied before candidates enter a top-k heap.  Dropping documents
+    only lowers achievable scores, so block-max pruning stays sound."""
+    if len(incl) == 0:
+        return np.zeros(len(values), dtype=bool)
+    pos = np.searchsorted(incl, values)
+    pos[pos >= len(incl)] = len(incl) - 1
+    return incl[pos] == values
+
+
 def _after_mask(
     sc: np.ndarray, gids: np.ndarray, after: tuple[float, int]
 ) -> np.ndarray:
@@ -95,6 +107,7 @@ def _exhaustive_topk(
     n_required: int = 0,
     exclude: np.ndarray | None = None,
     after: tuple[float, int] | None = None,
+    include: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Term-at-a-time exhaustive scorer for dense queries (see the
     dispatch in ``slab_topk``): full-decode every chunk once, one
@@ -119,6 +132,8 @@ def _exhaustive_topk(
     )
     if exclude is not None:
         ids = ids[_not_in_sorted(ids, exclude)]
+    if include is not None:
+        ids = ids[_in_sorted(ids, include)]
     sc = scores[ids]
     if after is not None:
         keep = _after_mask(sc, ids + slab_base, after)
@@ -186,6 +201,7 @@ def slab_topk(
     n_required: int = 0,
     exclude: np.ndarray | None = None,
     after: tuple[float, int] | None = None,
+    include: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k of one slab.
 
@@ -208,6 +224,11 @@ def slab_topk(
     before they can enter the running top-k, so theta only ever rises
     from admissible documents and pruning against the OR bound remains
     exact for the included set.
+
+    ``include`` (sorted unique slab-local docids) enables ES
+    bool.filter: ONLY documents in the set are admitted to the top-k
+    (scores are untouched — ES filter context is non-scoring).  Like
+    ``exclude``, dropping documents keeps pruning exact.
 
     ``after`` ((score, global docid) cursor) enables ES search_after
     keyset pagination: only documents strictly after the cursor in
@@ -238,7 +259,7 @@ def slab_topk(
     ):
         return _exhaustive_topk(
             chunks, slab_base, slab_size, block_size, k, k1, b,
-            n_required, exclude, after,
+            n_required, exclude, after, include,
         )
     ub = np.zeros(n_grid, dtype=np.float64)
     for c, idf, _a, bscale in chunks:
@@ -299,6 +320,13 @@ def slab_topk(
             # reset excluded docs' buffers too (they were scored),
             # then drop them before the top-k sees them
             keep_m = _not_in_sorted(touched, exclude)
+            drop = touched[~keep_m]
+            if counts is not None:
+                counts[drop] = 0
+            scores[drop] = 0.0
+            touched = touched[keep_m]
+        if include is not None and len(touched):
+            keep_m = _in_sorted(touched, include)
             drop = touched[~keep_m]
             if counts is not None:
                 counts[drop] = 0
@@ -693,6 +721,7 @@ def make_slab_scorer(
     bound_scale: float = 1.0,
     n_required: int = 0,
     after: tuple[float, int] | None = None,
+    n_filter_groups: int = 0,
 ):
     """applyInPandas scorer: group = one slab's matching segment rows.
 
@@ -706,14 +735,36 @@ def make_slab_scorer(
     contribute no score), and matching documents are dropped before
     the top-k — the exclusion rides the SAME (slab) group as the
     positive terms, so must_not adds no extra shuffle.
+
+    Rows with a non-null ``inc`` column are bool.filter chunks
+    (`m#field=value` keyword postings): group i's docids union within
+    the group (OR of a field's values) and intersect across groups
+    (AND of fields) into the slab's admission set.  ``n_filter_groups``
+    is the GLOBAL group count — a slab missing any group has no
+    admissible documents at all (no doc there carries that field
+    value) and returns empty.  Filter chunks never score: ES filter
+    context.
     """
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         slab = int(pdf["slab"].iloc[0])
         per_field = "avgdl" in pdf.columns
+        has_inc = "inc" in pdf.columns
+        empty = pd.DataFrame(
+            {"docid": np.zeros(0, np.int64),
+             "score": np.zeros(0, np.float64)}
+        )
         chunks = []
         excl_parts = []
+        inc_parts: dict[int, list] = {}
         for r in pdf.itertuples():
+            if has_inc and not pd.isna(r.inc):
+                c = TermChunk(r.postings, r.skips, r.block_max)
+                local, _tf, _dl = c.decode_blocks(
+                    np.arange(c.n_blocks, dtype=np.int64), block_size
+                )
+                inc_parts.setdefault(int(r.inc), []).append(local)
+                continue
             if pd.isna(r.idf):
                 c = TermChunk(r.postings, r.skips, r.block_max)
                 local, _tf, _dl = c.decode_blocks(
@@ -729,11 +780,20 @@ def make_slab_scorer(
                     float(r.bscale) if per_field else bound_scale,
                 )
             )
+        include = None
+        if n_filter_groups:
+            if len(inc_parts) < n_filter_groups:
+                return empty  # some field value absent from this slab
+            sets = [
+                np.unique(np.concatenate(ps)) for ps in inc_parts.values()
+            ]
+            include = sets[0]
+            for s2 in sets[1:]:
+                include = include[_in_sorted(include, s2)]
+            if len(include) == 0:
+                return empty
         if not chunks:
-            return pd.DataFrame(
-                {"docid": np.zeros(0, np.int64),
-                 "score": np.zeros(0, np.float64)}
-            )
+            return empty
         exclude = (
             np.unique(np.concatenate(excl_parts)) if excl_parts else None
         )
@@ -750,6 +810,7 @@ def make_slab_scorer(
             n_required=n_required,
             exclude=exclude,
             after=after,
+            include=include,
         )
         return pd.DataFrame({"docid": ids, "score": sc})
 
