@@ -218,6 +218,14 @@ def main() -> None:
     for q in list(REFERENCE_QUERIES.values())[:6]:
         eng.search_local_sorted(q, 10, "date")
     queries["sorted_serving_6q"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    for q in list(REFERENCE_QUERIES.values())[:6]:
+        eng.search_local(q, 10, filter={"lang": "python"})
+    queries["filtered_serving_6q"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    for q in list(REFERENCE_QUERIES.values())[:6]:
+        eng.facet_counts_local(q, "lang", 10)
+    queries["facets_serving_6q"] = round(time.time() - t0, 3)
     from search_engine_spark.indexer.build import delete_documents
 
     delete_documents(
