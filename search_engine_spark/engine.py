@@ -2274,6 +2274,66 @@ class SearchEngine:
         out.sort(key=lambda x: (-x[5], x[0]))
         return out
 
+    def stats(self) -> dict:
+        """ES `_cat/indices` / `_stats` analog: one dict of
+        index-level facts — live vs raw doc counts, pending
+        tombstones, LSM generation depth, per-namespace vocabulary
+        sizes (content / `t#` title / `m#` metadata), segment chunk
+        count and posting bytes, slab count, and positional-index
+        state.  Two small aggregate jobs (segments projected to three
+        columns, df projected to one) — nothing decodes."""
+        from search_engine_spark.config import META_PREFIX, TITLE_PREFIX
+
+        m = self.meta
+        seg = self.segments.agg(
+            F.count("*").alias("chunks"),
+            F.sum(F.length("postings")).alias("posting_bytes"),
+            F.countDistinct("slab").alias("slabs_used"),
+            F.max("gen").alias("max_gen_seen"),
+        ).collect()[0]
+        ns = (
+            self.df_table.select(
+                F.when(
+                    F.col("term").startswith(TITLE_PREFIX), "title"
+                )
+                .when(F.col("term").startswith(META_PREFIX), "meta")
+                .otherwise("content")
+                .alias("ns")
+            )
+            .groupBy("ns")
+            .count()
+            .collect()
+        )
+        vocab = {r["ns"]: int(r["count"]) for r in ns}
+        n_tomb = self._n_tomb()
+        pos_state = "absent"
+        if self.store.exists("pos_meta", self.spark):
+            row = self.store.read(self.spark, "pos_meta").collect()[0]
+            pos_state = (
+                "current"
+                if int(row["n_docs"]) == int(m["n_docs"])
+                else "stale"
+            )
+        return {
+            "n_docs_live": int(m["n_docs"]) - n_tomb,
+            "n_docs": int(m["n_docs"]),
+            "pending_deletes": n_tomb,
+            "next_docid": int(m.get("next_docid", m["n_docs"])),
+            "n_slabs": int(m["n_slabs"]),
+            "slabs_used": int(seg["slabs_used"]),
+            "max_gen": int(m.get("max_gen", 0)),
+            "max_gen_seen": int(seg["max_gen_seen"] or 0),
+            "segment_chunks": int(seg["chunks"]),
+            "posting_bytes": int(seg["posting_bytes"] or 0),
+            "vocab_content": vocab.get("content", 0),
+            "vocab_title": vocab.get("title", 0),
+            "vocab_meta": vocab.get("meta", 0),
+            "avgdl": float(m["avgdl"]),
+            "norm_avgdl": float(m["norm_avgdl"]),
+            "index_fields": list(m.get("index_fields", [])),
+            "positional_index": pos_state,
+        }
+
     def _doclen_all(self):
         """Per-generation int32 doclen array indexed by docid — the
         serving tier's norms table (pyarrow read, cached)."""

@@ -274,3 +274,44 @@ def test_hot_term_groups_bounded(spark, tmp_path_factory):
     # and the hot term is searchable with exact slab pruning intact
     hits = engines["hot"].search_local("zzhot", 10)
     assert len(hits) == 10
+
+
+def test_engine_stats(spark, tmp_path):
+    """ES _stats analog: live/raw/deleted counts, namespaces,
+    generation depth and positional state track the index lifecycle."""
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.corpus import corpus_df
+    from search_engine_spark.engine import SearchEngine
+    from search_engine_spark.indexer.build import (
+        append_documents,
+        build_index,
+    )
+
+    d = str(tmp_path / "statsidx")
+    cfg = EngineConfig(slab_size=256, term_buckets=8, block_size=32)
+    build_index(spark, corpus_df(spark, 300, partitions=4), d, cfg)
+    e = SearchEngine(spark, d)
+    s0 = e.stats()
+    assert s0["n_docs_live"] == s0["n_docs"] > 0
+    assert s0["pending_deletes"] == 0
+    assert s0["max_gen"] == 0 and s0["max_gen_seen"] == 0
+    assert s0["vocab_content"] > 0 and s0["vocab_title"] > 0
+    # default index_fields = (lang, repo): one m# term per value
+    assert s0["vocab_meta"] > 0
+    assert s0["index_fields"] == ["lang", "repo"]
+    assert s0["positional_index"] == "absent"
+    assert s0["posting_bytes"] > 0
+    e.build_positions()
+    assert e.stats()["positional_index"] == "current"
+    append_documents(
+        spark, d, corpus_df(spark, 40, seed=777, partitions=2)
+    )
+    e.refresh()
+    s1 = e.stats()
+    assert s1["max_gen"] == 1 and s1["max_gen_seen"] == 1
+    assert s1["n_docs"] > s0["n_docs"]
+    assert s1["positional_index"] == "stale"
+    e.delete(docids=[0, 1])
+    s2 = e.stats()
+    assert s2["pending_deletes"] == 2
+    assert s2["n_docs_live"] == s2["n_docs"] - 2
