@@ -132,6 +132,13 @@ NEAR_QUERIES = {
     "bm25_near_q2": ("spark table hash", 2),
 }
 
+# Round-5 session-5: SearchRequestDTO numeric range filters
+# (dateFrom/dateTo/minContentQuality — SearchRequestDTO.java:22-24).
+# The day window covers ~59% of the synthetic calendar and the
+# quality floor sits mid-distribution, so BOTH predicates demonstrably
+# drop docs from the unfiltered top-k at sf0.01 and sf0.1.
+RANGE_PARAMS = {"day_from": 300, "day_to": 1800, "min_quality": 0.45}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
@@ -183,6 +190,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # expansion) and prefix (scoring_boolean) retrieval
     q["bm25_fuzzy_q1"] = partial(C.q_bm25_fuzzy, query=FUZZY_QUERY, k=10)
     q["bm25_prefix_q1"] = partial(C.q_bm25_prefix, prefix=PREFIX_QUERY, k=10)
+    # round 5 session 5: SearchRequestDTO numeric range filters
+    # (dateFrom/dateTo/minContentQuality — the last three DTO params,
+    # completing the request surface).  In-window scan form gates the
+    # semantics; the kernel form (raw-int64 doc-values admission
+    # through make_slab_scorer) sits in the sweep tail.  `snippet`
+    # moves to the tail for the slot: highlight_q1 (also in-window,
+    # 100 rows) runs the identical snippet projection WITH <mark>
+    # highlighting on top — a strict computation superset.
+    q["bm25_range_q1"] = partial(
+        C.q_bm25_range, query=PAGE_QUERY, **RANGE_PARAMS, k=10
+    )
     q["cached_search"] = partial(C.q_cached_search, query=CACHE_QUERY, k=10)
     q["ranked_blend"] = partial(C.q_ranked_blend, query=RANKED_QUERY, k=10)
     q.update(
@@ -314,6 +332,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_filter_q1"] = partial(
         C.q_bm25_filtered, query=PAGE_QUERY, field="lang", value="zh", k=10
     )
+    # range filters through the real kernel admission machinery
+    # (sweep tail; the scan form gates the semantics in-window)
+    q["bm25_range_wand_q1"] = partial(
+        C.q_bm25_range_wand, query=PAGE_QUERY, **RANGE_PARAMS, k=10
+    )
     # round-5 fuzzy/prefix need two window slots: bm25_full_q3 joins
     # the tail (its bare BEST_FIELDS + pagerank computation is a
     # strict subset of bm25_full_q1's, which stays gated) and
@@ -327,7 +350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for tail in ("bm25_q2", "bm25_q3", "bm25_q4", "ann_sign_lsh",
                  "ann_ivf", "bm25_and_q2", "simhash_fp", "minhash_sig",
                  "bm25_wand_q2", "bm25_full_q2", "bm25_full_q3",
-                 "bm25_fields_q1", "bm25_expanded_q2", "freshness_decay"):
+                 "bm25_fields_q1", "bm25_expanded_q2", "freshness_decay",
+                 "snippet"):
         q[tail] = q.pop(tail)
     return q
 
@@ -364,6 +388,10 @@ def oracle_sql() -> dict[str, str]:
     o["more_like_this_q1"] = O.more_like_this_sql(42, 10)
     o["bm25_explain_q1"] = O.bm25_explain_sql(PAGE_QUERY, 42)
     o["bm25_filter_q1"] = O.bm25_filtered_sql(PAGE_QUERY, "lang", "zh", 10)
+    o["bm25_range_q1"] = O.bm25_range_sql(PAGE_QUERY, k=10, **RANGE_PARAMS)
+    o["bm25_range_wand_q1"] = O.bm25_range_wand_sql(
+        PAGE_QUERY, k=10, **RANGE_PARAMS
+    )
     # scan and positional phrase forms are identical by construction,
     # so each phrase's two entries share one oracle (the ann_* pattern)
     o["bm25_phrase_q1"] = O.bm25_phrase_sql(PHRASE_QUERIES["bm25_phrase_q1"], 10)

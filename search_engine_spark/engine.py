@@ -22,6 +22,67 @@ from search_engine_spark.query.wand import TOPK_SCHEMA, make_slab_scorer
 from search_engine_spark.tokenizer import tokenize_query
 
 
+def pack_admission_rows(adm: DataFrame, slab_size: int, gi: int) -> DataFrame:
+    """(docid) admissible-doc DataFrame -> doc-values admission rows
+    in segment-row shape: (slab, RAW_INC_TERM, raw sorted int64
+    slab-local docids as bytes, NULL skips/block_max/idf, inc=gi) —
+    one row per slab holding at least one admissible doc.  Consumed by
+    make_slab_scorer exactly like a keyword bool.filter group."""
+    import numpy as np
+    import pandas as pd
+
+    from search_engine_spark.query.wand import RAW_INC_TERM
+
+    grouped = adm.select(
+        F.floor(F.col("docid") / F.lit(slab_size)).cast("int").alias("slab"),
+        F.col("docid").cast("long").alias("docid"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        local = np.sort(
+            pdf["docid"].to_numpy(np.int64) % np.int64(slab_size)
+        )
+        return pd.DataFrame(
+            {
+                "slab": [int(pdf["slab"].iloc[0])],
+                "postings": [local.tobytes()],
+            }
+        )
+
+    packed = grouped.groupBy("slab").applyInPandas(
+        pack, schema="slab int, postings binary"
+    )
+    return packed.select(
+        F.col("slab"),
+        F.lit(RAW_INC_TERM).alias("term"),
+        F.col("postings"),
+        F.lit(None).cast("binary").alias("skips"),
+        F.lit(None).cast("binary").alias("block_max"),
+        F.lit(None).cast("double").alias("idf"),
+        F.lit(int(gi)).cast("int").alias("inc"),
+    )
+
+
+def _dto_ranges(date_from, date_to, min_quality):
+    """SearchRequestDTO range params -> [(field, lo, hi)] doc-values
+    ranges (None when nothing is constrained).  Dates accept ISO
+    strings or day offsets (ops/ranking.day_offset)."""
+    from search_engine_spark.ops.ranking import day_offset
+
+    ranges: list[tuple[str, float | None, float | None]] = []
+    if min_quality is not None:
+        ranges.append(("quality", float(min_quality), None))
+    if date_from is not None or date_to is not None:
+        ranges.append(
+            (
+                "day",
+                float(day_offset(date_from)) if date_from is not None else None,
+                float(day_offset(date_to)) if date_to is not None else None,
+            )
+        )
+    return ranges or None
+
+
 class SearchEngine:
     def __init__(self, spark: SparkSession, index_dir: str, cache: bool = True):
         self.spark = spark
@@ -125,6 +186,9 @@ class SearchEngine:
         self._tombdf = None
         # serving-tier docmap field arrays (facets), per generation
         self._field_arrs: dict = {}
+        # serving-tier numeric doc-values arrays (range filters:
+        # dateFrom/dateTo/minContentQuality), per generation
+        self._dv_arrs: dict = {}
         return self
 
     # -- construction ----------------------------------------------------
@@ -313,6 +377,9 @@ class SearchEngine:
         exclude: str | None = None,
         after: tuple[float, int] | None = None,
         filter: "dict | None" = None,
+        date_from: "str | int | None" = None,
+        date_to: "str | int | None" = None,
+        min_quality: float | None = None,
     ) -> DataFrame:
         """Top-k (docid, score) via per-slab block-max WAND.
 
@@ -358,6 +425,22 @@ class SearchEngine:
         keyword postings (cfg.index_fields), so term/bucket/slab
         pruning applies to the filter clauses too, admission happens
         inside the kernels, and scores are untouched.
+
+        ``date_from``/``date_to``/``min_quality`` complete the
+        SearchRequestDTO surface (SearchRequestDTO.java:22-24; the
+        reference's ES adapter plumbs the params but never applies
+        them — implemented here as the declared semantics, the sortBy
+        precedent): numeric RANGE filters in filter context.  Dates
+        are ISO strings (or day offsets) against the deterministic
+        synthetic publish day (ops/ranking.pub_day_col — the sortBy
+        "date" key, so sorting and filtering agree); min_quality
+        bounds the docmap's materialized F13 quality.  Ranges ride the
+        same kernel admission as bool.filter: a per-slab admissible
+        set is computed from a column-pruned docmap scan (docid +
+        quality only — the Lucene doc-values analog; the day needs no
+        scan at all, it is a pure function of docid) and shipped into
+        the per-slab groups as raw-int64 rows, so scores stay bitwise
+        those of the unfiltered ranking and WAND bounds stay exact.
         """
         if expand:
             from search_engine_spark.query.expansion import expand_query
@@ -374,6 +457,7 @@ class SearchEngine:
         return self._search_weights(
             weights, k, mode=mode, exclude_terms=exclude_terms,
             after=after, filters=filter,
+            ranges=_dto_ranges(date_from, date_to, min_quality),
         )
 
     def _search_weights(
@@ -384,12 +468,16 @@ class SearchEngine:
         exclude_terms: list[str] | None = None,
         after: tuple[float, int] | None = None,
         filters: "dict | None" = None,
+        ranges: "list[tuple[str, float | None, float | None]] | None" = None,
     ) -> DataFrame:
         """Weighted-clause WAND core shared by search / search_fuzzy /
         search_prefix: per-term contribution = w_t * idf_t * tfn (the
         weight folds into idf, so pruning bounds remain exact).
         ``exclude_terms`` (bool.must_not) join as NULL-idf rows the
-        scorer decodes into per-slab exclusion sets."""
+        scorer decodes into per-slab exclusion sets.  ``ranges``
+        [(field, lo, hi)] are numeric doc-values filters (see
+        search()); each becomes one more admission group of raw-int64
+        rows packed from the docmap."""
         terms = list(weights)
         if not terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
@@ -413,8 +501,10 @@ class SearchEngine:
             )
             seg = seg.unionByName(neg)
         groups = self._filter_groups(filters)
-        if groups:
+        rngs = [r for r in (ranges or []) if r[1] is not None or r[2] is not None]
+        if groups or rngs:
             seg = seg.withColumn("inc", F.lit(None).cast("int"))
+        if groups:
             for gi, gterms in enumerate(groups):
                 fseg = (
                     self._pruned_segments(gterms)
@@ -439,6 +529,22 @@ class SearchEngine:
                     if not allowed:
                         return self.spark.createDataFrame([], TOPK_SCHEMA)
                     seg = seg.filter(F.col("slab").isin(sorted(allowed)))
+        if rngs:
+            # doc-values admission rows: one group per range, packed
+            # from a column-pruned docmap scan; pruned to the slabs the
+            # scored terms occur in (a range row for a slab with no
+            # scored chunks could never contribute)
+            adm_slabs = (
+                self._slabs_for(terms)
+                if self._term_slab_cache is not None else None
+            )
+            for i, rng in enumerate(rngs):
+                rseg = self._range_admission_rows(rng, len(groups) + i)
+                if adm_slabs is not None:
+                    rseg = rseg.filter(
+                        F.col("slab").isin(sorted(adm_slabs))
+                    )
+                seg = seg.unionByName(rseg.select(*seg.columns))
         bound_scale = max(1.0, float(m["avgdl"]) / float(m["norm_avgdl"]))
         scorer = make_slab_scorer(
             int(m["slab_size"]),
@@ -450,13 +556,51 @@ class SearchEngine:
             bound_scale,
             n_required=len(terms) if mode == "and" else 0,
             after=after,
-            n_filter_groups=len(groups),
+            n_filter_groups=len(groups) + len(rngs),
         )
         per_slab = seg.groupBy("slab").applyInPandas(scorer, schema=TOPK_SCHEMA)
         return (
             self._drop_tombstones(per_slab)
             .orderBy(F.desc("score"), F.asc("docid"))
             .limit(k)
+        )
+
+    def _range_admission_rows(self, rng, gi: int) -> DataFrame:
+        """One doc-values range -> admission rows (slab, RAW_INC_TERM,
+        raw-int64 postings, NULL skips/block_max/idf, inc=gi), one row
+        per slab holding at least one admissible doc.
+
+        The docmap IS the doc-values store: parquet is columnar, so
+        the scan reads exactly (docid, quality) — nothing content-
+        sized ships — and the range predicate pushes into it.  The
+        synthetic publish day needs no scan at all (a pure function of
+        docid, shared with sortBy="date").  One narrow shuffle to
+        (slab) packs the admissible docids; at 100 TB the heavy
+        per-value filtering work stays columnar and distributed, and
+        the hot-path alternative for a REPEATED categorical range is
+        the m#field=value keyword postings (bool.filter), which skip
+        the docmap entirely."""
+        from search_engine_spark.ops.ranking import pub_day_col
+
+        field, lo, hi = rng
+        if field == "quality":
+            src = self.docmap.select(
+                F.col("docid").cast("long").alias("docid"),
+                F.col("quality").cast("double").alias("_v"),
+            )
+        elif field == "day":
+            src = self.docmap.select(
+                F.col("docid").cast("long").alias("docid")
+            ).withColumn("_v", pub_day_col(F.col("docid")).cast("double"))
+        else:
+            raise ValueError(f"unknown range field {field!r}")
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("_v") >= float(lo))
+        if hi is not None:
+            cond = cond & (F.col("_v") <= float(hi))
+        return pack_admission_rows(
+            src.filter(cond), int(self.meta["slab_size"]), gi
         )
 
     def _content_vocab(self):
@@ -1339,6 +1483,9 @@ class SearchEngine:
         exclude: str | None = None,
         after: tuple[float, int] | None = None,
         filter: "dict | None" = None,
+        date_from: "str | int | None" = None,
+        date_to: "str | int | None" = None,
+        min_quality: float | None = None,
     ) -> list[tuple[int, float]]:
         """Serving-path top-k: NO Spark job — pyarrow pruned read of
         the term/bucket segment files + the same numpy block-max WAND
@@ -1359,6 +1506,7 @@ class SearchEngine:
         return self._search_local_weights(
             {t: 1.0 for t in terms}, k,
             exclude_terms=exclude_terms, after=after, filters=filter,
+            ranges=_dto_ranges(date_from, date_to, min_quality),
         )
 
     def _search_local_weights(
@@ -1368,6 +1516,7 @@ class SearchEngine:
         exclude_terms: list[str] | None = None,
         after: tuple[float, int] | None = None,
         filters: "dict | None" = None,
+        ranges: "list[tuple[str, float | None, float | None]] | None" = None,
     ) -> list[tuple[int, float]]:
         """Weighted-clause serving core (no Spark job): per-term
         contribution = w_t * idf_t * tfn.  ``search_local`` is the
@@ -1479,7 +1628,39 @@ class SearchEngine:
                     inc_by_slab[slab] = inc
             if not by_slab:
                 return []
-        if not exclude_terms and not tomb_local and not groups:
+        rngs = [
+            r for r in (ranges or [])
+            if r[1] is not None or r[2] is not None
+        ]
+        if rngs:
+            import numpy as np
+
+            from search_engine_spark.query.wand import _in_sorted
+
+            ss = int(m["slab_size"])
+            if inc_by_slab is None:
+                inc_by_slab = {}
+            for slab in list(by_slab):
+                base = slab * ss
+                mask = np.ones(ss, dtype=bool)
+                for field, lo, hi in rngs:
+                    vals = self._dv_slab_values(field, base, ss)
+                    if lo is not None:
+                        mask &= vals >= lo  # NaN (hole) fails
+                    if hi is not None:
+                        mask &= vals <= hi
+                inc = np.flatnonzero(mask).astype(np.int64)
+                prev = inc_by_slab.get(slab)
+                if prev is not None:
+                    inc = prev[_in_sorted(prev, inc)]
+                if len(inc) == 0:
+                    del by_slab[slab]
+                    inc_by_slab.pop(slab, None)
+                else:
+                    inc_by_slab[slab] = inc
+            if not by_slab:
+                return []
+        if not exclude_terms and not tomb_local and not groups and not rngs:
             # pending deletes take the per-slab kernels (which accept
             # exclusion sets); a purging compaction restores the
             # fused fast path
@@ -2020,6 +2201,42 @@ class SearchEngine:
         uniq, cnt = np.unique(vals, return_counts=True)
         order = np.lexsort((uniq, -cnt))[:size]
         return [(str(uniq[i]), int(cnt[i])) for i in order]
+
+    def _dv_slab_values(self, field: str, base: int, n: int):
+        """Serving-tier doc values for one slab: float64 array of
+        ``field`` for global docids [base, base+n).  ``day`` is the
+        deterministic publish-day function of docid (no IO);
+        ``quality`` gathers from a per-generation float64 array built
+        from one column-pruned pyarrow docmap read (docid + quality
+        only), NaN at holes (purged / never-assigned docids) so range
+        predicates exclude them."""
+        import numpy as np
+
+        if field == "day":
+            from search_engine_spark.ops.ranking import PUBLISH_RANGE_DAYS
+
+            g = base + np.arange(n, dtype=np.int64)
+            return ((g * 16807) % PUBLISH_RANGE_DAYS).astype(np.float64)
+        if field != "quality":
+            raise ValueError(f"unknown range field {field!r}")
+        arr = self._dv_arrs.get("quality")
+        if arr is None:
+            import pyarrow.dataset as ds
+
+            tab = ds.dataset(
+                f"{self.index_dir}/docmap", partitioning="hive"
+            ).to_table(columns=["docid", "quality"])
+            ids = tab.column("docid").to_numpy()
+            arr = np.full(
+                (int(ids.max()) + 1) if len(ids) else 0, np.nan
+            )
+            arr[ids] = tab.column("quality").to_numpy(zero_copy_only=False)
+            self._dv_arrs["quality"] = arr
+        out = np.full(n, np.nan)
+        end = min(base + n, len(arr))
+        if end > base:
+            out[: end - base] = arr[base:end]
+        return out
 
     def _field_all(self, field: str):
         """Per-generation object array docid -> docmap[field] for the

@@ -65,6 +65,23 @@ def pub_day_col(docid_col):
     )
 
 
+PUBLISH_EPOCH = "2018-01-01"  # day offset 0 of the synthetic calendar
+
+
+def day_offset(value) -> int:
+    """SearchRequestDTO ``dateFrom``/``dateTo`` (ISO date strings,
+    SearchRequestDTO.java:22-23) -> synthetic day offset: days since
+    PUBLISH_EPOCH.  Ints pass through as already-computed offsets.
+    Offsets outside [0, PUBLISH_RANGE_DAYS) are legal — they simply
+    match nothing / everything, like an ES range on an empty span."""
+    if isinstance(value, int):
+        return value
+    import datetime as _dt
+
+    epoch = _dt.date.fromisoformat(PUBLISH_EPOCH)
+    return (_dt.date.fromisoformat(str(value)) - epoch).days
+
+
 def hash_rank_col(docid_col):
     """Synthetic per-doc static rank in [0, 1): Knuth multiplicative
     hash mod a prime, divided exactly (one IEEE division of exact

@@ -724,6 +724,111 @@ def bm25_filtered_sql(
     )
 
 
+def _range_conds(day_from, day_to, min_quality, docid: str, quality: str) -> str:
+    """WHERE conjuncts for the SearchRequestDTO range params: publish
+    day = (docid*16807) % PUBLISH_RANGE_DAYS (the sortBy "date" key),
+    quality = the shared rounded F13 formula — identical float64
+    comparisons to the Spark twin on both sides of every boundary."""
+    from search_engine_spark.ops.ranking import PUBLISH_RANGE_DAYS
+
+    day = f"CAST(({docid} * 16807) % {PUBLISH_RANGE_DAYS} AS DOUBLE)"
+    conds = []
+    if min_quality is not None:
+        conds.append(f"{quality} >= {float(min_quality)!r}")
+    if day_from is not None:
+        conds.append(f"{day} >= {float(day_from)!r}")
+    if day_to is not None:
+        conds.append(f"{day} <= {float(day_to)!r}")
+    return " AND ".join(conds) if conds else "1=1"
+
+
+def bm25_range_sql(
+    query: str,
+    day_from=None,
+    day_to=None,
+    min_quality=None,
+    k: int = 10,
+) -> str:
+    """Range-filter twin (contract.q_bm25_range): the BM25 ranking
+    restricted to the publish-day window + minimum content quality
+    (SearchRequestDTO dateFrom/dateTo/minContentQuality)."""
+    terms = tokenize_query(query)
+    if not terms:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS docid, "
+            "CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+        )
+    terms_in = ", ".join(f"'{t}'" for t in terms)
+    qual = quality_score_sql().replace("ORDER BY docid", "")
+    conds = _range_conds(day_from, day_to, min_quality, "sc.docid", "q.quality")
+    return (
+        "WITH " + postings_cte() + ", "
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, "
+        "avg(doclen) AS avgdl FROM tl), "
+        "dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings "
+        f"WHERE term IN ({terms_in}) GROUP BY term), "
+        "scored AS (SELECT p.docid, "
+        "SUM(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * "
+        f"(p.tf * ({BM25_K1} + 1.0) / (p.tf + {BM25_K1} * "
+        f"(1.0 - {BM25_B} + {BM25_B} * p.doclen / s.avgdl)))) AS raw "
+        "FROM postings p JOIN dfs d ON p.term = d.term CROSS JOIN stats s "
+        f"WHERE p.term IN ({terms_in}) GROUP BY p.docid), "
+        f"qual AS ({qual}) "
+        "SELECT sc.docid, ROUND(sc.raw, 4) AS score FROM scored sc "
+        "JOIN qual q ON q.docid = sc.docid "
+        f"WHERE {conds} "
+        f"ORDER BY sc.raw DESC, sc.docid LIMIT {k}"
+    )
+
+
+def bm25_range_wand_sql(
+    query: str,
+    day_from=None,
+    day_to=None,
+    min_quality=None,
+    k: int = 10,
+) -> str:
+    """Twin of contract.q_bm25_range_wand (the raw-admission kernel
+    branch over the real compressed index): the sha256-dedup BM25
+    ranking restricted to the same range predicates.  Survivors keep
+    their original doc_id, so quality joins by docid against the
+    all-documents quality CTE (equal text -> equal quality)."""
+    terms = tokenize_query(query)
+    if not terms:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS docid, "
+            "CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+        )
+    terms_in = ", ".join(f"'{t}'" for t in terms)
+    qual = quality_score_sql().replace("ORDER BY docid", "")
+    conds = _range_conds(day_from, day_to, min_quality, "sc.docid", "q.quality")
+    return (
+        "WITH surv AS (SELECT doc_id, text FROM documents "
+        "QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1), "
+        "toks AS (SELECT doc_id AS docid, "
+        f"{duckdb_tokens_sql('text')} AS toks FROM surv), "
+        "tl AS (SELECT docid, toks, len(toks) AS doclen FROM toks), "
+        "exploded AS (SELECT docid, doclen, unnest(toks) AS term FROM tl), "
+        "postings AS (SELECT term, docid, CAST(count(*) AS INT) AS tf, "
+        "doclen FROM exploded GROUP BY term, docid, doclen), "
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, "
+        "avg(doclen) AS avgdl FROM tl), "
+        "dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings "
+        f"WHERE term IN ({terms_in}) GROUP BY term), "
+        "scored AS (SELECT p.docid, "
+        "SUM(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * "
+        f"(p.tf * ({BM25_K1} + 1.0) / (p.tf + {BM25_K1} * "
+        f"(1.0 - {BM25_B} + {BM25_B} * p.doclen / s.avgdl)))) AS raw "
+        "FROM postings p JOIN dfs d ON p.term = d.term CROSS JOIN stats s "
+        f"WHERE p.term IN ({terms_in}) GROUP BY p.docid), "
+        f"qual AS ({qual}) "
+        "SELECT sc.docid, ROUND(sc.raw, 4) AS score FROM scored sc "
+        "JOIN qual q ON q.docid = sc.docid "
+        f"WHERE {conds} "
+        f"ORDER BY sc.raw DESC, sc.docid LIMIT {k}"
+    )
+
+
 def bm25_deleted_sql(query: str, k: int = 10) -> str:
     """Masked-ranking twin (contract.q_bm25_deleted): the dedup BM25
     ranking minus the documents at ranks 1, 3 and 5 — the tombstone

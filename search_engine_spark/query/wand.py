@@ -28,6 +28,14 @@ from search_engine_spark.indexer.codec import TermChunk, tf_norm_factor
 
 TOPK_SCHEMA = "docid long, score double"
 
+# Sentinel term name for numeric-range admission rows (doc-values
+# filters — SearchRequestDTO dateFrom/dateTo/minContentQuality): the
+# row's ``postings`` bytes are raw sorted int64 slab-local docids
+# (np.frombuffer, no varint framing) rather than a compressed chunk.
+# "\x00" cannot appear in any tokenizer output, so the sentinel can
+# never collide with a real term.
+RAW_INC_TERM = "\x00rng"
+
 
 def _blocks_in(block_ids: np.ndarray, sorted_batch: np.ndarray) -> np.ndarray:
     """Indices into ``block_ids`` (sorted ascending, unique) of the
@@ -744,6 +752,12 @@ def make_slab_scorer(
     admissible documents at all (no doc there carries that field
     value) and returns empty.  Filter chunks never score: ES filter
     context.
+
+    An ``inc`` row whose term is ``RAW_INC_TERM`` is a numeric-range
+    admission set (doc-values filters — dateFrom/dateTo/
+    minContentQuality): its postings bytes are raw sorted int64
+    slab-local docids packed by the driver plan from the docmap
+    columns, consumed exactly like a keyword filter group.
     """
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -759,10 +773,16 @@ def make_slab_scorer(
         inc_parts: dict[int, list] = {}
         for r in pdf.itertuples():
             if has_inc and not pd.isna(r.inc):
-                c = TermChunk(r.postings, r.skips, r.block_max)
-                local, _tf, _dl = c.decode_blocks(
-                    np.arange(c.n_blocks, dtype=np.int64), block_size
-                )
+                if r.term == RAW_INC_TERM:
+                    # numeric-range admission row (doc-values form):
+                    # postings bytes are sorted int64 slab-local docids
+                    # packed by the driver plan, no varint framing
+                    local = np.frombuffer(r.postings, dtype=np.int64)
+                else:
+                    c = TermChunk(r.postings, r.skips, r.block_max)
+                    local, _tf, _dl = c.decode_blocks(
+                        np.arange(c.n_blocks, dtype=np.int64), block_size
+                    )
                 inc_parts.setdefault(int(r.inc), []).append(local)
                 continue
             if pd.isna(r.idf):

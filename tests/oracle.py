@@ -31,6 +31,7 @@ class OracleIndex:
         self.docmap: list[dict] = []
         self.postings: dict[str, dict[int, int]] = defaultdict(dict)
         self.doclen: dict[int, int] = {}
+        self.quality: dict[int, float] = {}
         for docid, d in enumerate(survivors):
             toks = py_tokenize(d["content"])
             self.doclen[docid] = len(toks)
@@ -40,6 +41,17 @@ class OracleIndex:
             for t, c in tf.items():
                 self.postings[t][docid] = c
             self.docmap.append({**d, "docid": docid, "doclen": len(toks)})
+            # F13 quality twin of ops/ranking.quality_col — the same
+            # IEEE-double op order, so thresholds compare identically
+            n = len(toks)
+            uniq = 0.0 if n == 0 else len(set(toks)) / n
+            awl = 0.0 if n == 0 else sum(len(t) for t in toks) / n
+            self.quality[docid] = (
+                0.3 * min(len(d["content"]) / 5000.0, 1.0)
+                + 0.2 * min(n / 800.0, 1.0)
+                + 0.3 * uniq
+                + 0.2 * min(awl / 6.0, 1.0)
+            )
         self.n_docs = len(survivors)
         self.avgdl = (
             sum(self.doclen.values()) / self.n_docs if self.n_docs else 0.0
@@ -119,6 +131,36 @@ class OracleIndex:
             if not any(d in self.postings.get(t, {}) for t in nterms)
         ]
         return keep[:k]
+
+    def search_range(
+        self,
+        query: str,
+        day_from=None,
+        day_to=None,
+        min_quality=None,
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """Doc-values range filters (SearchRequestDTO dateFrom/dateTo/
+        minContentQuality): disjunctive scoring restricted to the
+        synthetic publish-day window + quality floor."""
+        terms = tokenize_query(query)
+        if not terms:
+            return []
+        ranked = self.search_weighted({t: 1.0 for t in terms}, 10**9)
+
+        def adm(d: int) -> bool:
+            day = (d * 16807) % 2557
+            if day_from is not None and day < day_from:
+                return False
+            if day_to is not None and day > day_to:
+                return False
+            if min_quality is not None and not (
+                self.quality[d] >= min_quality
+            ):
+                return False
+            return True
+
+        return [(d, s) for d, s in ranked if adm(d)][:k]
 
     def search_fields(
         self, fw: list[tuple], k: int = 10
