@@ -337,6 +337,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_range_wand_q1"] = partial(
         C.q_bm25_range_wand, query=PAGE_QUERY, **RANGE_PARAMS, k=10
     )
+    # ES minimum_should_match: 2-of-4 on the 4-term page query — the
+    # m-of-n middle ground between the gated OR (bm25_wand_q1) and
+    # bool.must (bm25_and_q1) forms, which share the same kernel
+    # counting machinery (sweep tail)
+    q["bm25_msm_q1"] = partial(C.q_bm25_msm, query=PAGE_QUERY, m=2, k=10)
     # round-5 fuzzy/prefix need two window slots: bm25_full_q3 joins
     # the tail (its bare BEST_FIELDS + pagerank computation is a
     # strict subset of bm25_full_q1's, which stays gated) and
@@ -392,6 +397,7 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_range_wand_q1"] = O.bm25_range_wand_sql(
         PAGE_QUERY, k=10, **RANGE_PARAMS
     )
+    o["bm25_msm_q1"] = O.bm25_msm_sql(PAGE_QUERY, 2, 10)
     # scan and positional phrase forms are identical by construction,
     # so each phrase's two entries share one oracle (the ann_* pattern)
     o["bm25_phrase_q1"] = O.bm25_phrase_sql(PHRASE_QUERIES["bm25_phrase_q1"], 10)

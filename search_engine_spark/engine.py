@@ -63,6 +63,23 @@ def pack_admission_rows(adm: DataFrame, slab_size: int, gi: int) -> DataFrame:
     )
 
 
+def _msm_count(msm, n: int) -> int:
+    """ES minimum_should_match value -> required distinct-term count:
+    an int passes through; "P%" takes floor(n * P / 100) (the ES
+    percentage rule — rounded DOWN).  0/None disables (plain OR)."""
+    if msm is None:
+        return 0
+    if isinstance(msm, str):
+        s = msm.strip()
+        if not s.endswith("%"):
+            raise ValueError(f"minimum_should_match {msm!r}: int or 'P%'")
+        return (n * int(s[:-1])) // 100
+    m = int(msm)
+    if m < 0:
+        raise ValueError("minimum_should_match must be >= 0")
+    return m
+
+
 def _dto_ranges(date_from, date_to, min_quality):
     """SearchRequestDTO range params -> [(field, lo, hi)] doc-values
     ranges (None when nothing is constrained).  Dates accept ISO
@@ -380,6 +397,7 @@ class SearchEngine:
         date_from: "str | int | None" = None,
         date_to: "str | int | None" = None,
         min_quality: float | None = None,
+        min_should_match: "int | str | None" = None,
     ) -> DataFrame:
         """Top-k (docid, score) via per-slab block-max WAND.
 
@@ -441,6 +459,16 @@ class SearchEngine:
         scan at all, it is a pure function of docid) and shipped into
         the per-slab groups as raw-int64 rows, so scores stay bitwise
         those of the unfiltered ranking and WAND bounds stay exact.
+
+        ``min_should_match`` is the ES param of the same name: only
+        documents matching at least m DISTINCT clauses are returned
+        (int, or "P%" of the clause count rounded down — the ES
+        percentage rule).  m-of-n sits between OR (m<=1) and
+        ``mode="and"`` (m=n, which overrides); with ``expand=True`` /
+        ``intent=True`` the clause count includes expansion clauses,
+        like an ES bool.should of the rewritten query.  Enforced by
+        the kernels' distinct-chunk counting (the bool.must machinery
+        with a lower threshold), so WAND pruning stays exact.
         """
         if expand:
             from search_engine_spark.query.expansion import expand_query
@@ -458,6 +486,7 @@ class SearchEngine:
             weights, k, mode=mode, exclude_terms=exclude_terms,
             after=after, filters=filter,
             ranges=_dto_ranges(date_from, date_to, min_quality),
+            min_should_match=min_should_match,
         )
 
     def _search_weights(
@@ -469,6 +498,7 @@ class SearchEngine:
         after: tuple[float, int] | None = None,
         filters: "dict | None" = None,
         ranges: "list[tuple[str, float | None, float | None]] | None" = None,
+        min_should_match: "int | str | None" = None,
     ) -> DataFrame:
         """Weighted-clause WAND core shared by search / search_fuzzy /
         search_prefix: per-term contribution = w_t * idf_t * tfn (the
@@ -554,7 +584,10 @@ class SearchEngine:
             float(m["b"]),
             float(m["avgdl"]),
             bound_scale,
-            n_required=len(terms) if mode == "and" else 0,
+            n_required=(
+                len(terms) if mode == "and"
+                else _msm_count(min_should_match, len(terms))
+            ),
             after=after,
             n_filter_groups=len(groups) + len(rngs),
         )
@@ -579,7 +612,8 @@ class SearchEngine:
         per-value filtering work stays columnar and distributed, and
         the hot-path alternative for a REPEATED categorical range is
         the m#field=value keyword postings (bool.filter), which skip
-        the docmap entirely."""
+        the docmap entirely.
+        """
         from search_engine_spark.ops.ranking import pub_day_col
 
         field, lo, hi = rng
@@ -1486,6 +1520,7 @@ class SearchEngine:
         date_from: "str | int | None" = None,
         date_to: "str | int | None" = None,
         min_quality: float | None = None,
+        min_should_match: "int | str | None" = None,
     ) -> list[tuple[int, float]]:
         """Serving-path top-k: NO Spark job — pyarrow pruned read of
         the term/bucket segment files + the same numpy block-max WAND
@@ -1507,6 +1542,7 @@ class SearchEngine:
             {t: 1.0 for t in terms}, k,
             exclude_terms=exclude_terms, after=after, filters=filter,
             ranges=_dto_ranges(date_from, date_to, min_quality),
+            min_should_match=min_should_match,
         )
 
     def _search_local_weights(
@@ -1517,6 +1553,7 @@ class SearchEngine:
         after: tuple[float, int] | None = None,
         filters: "dict | None" = None,
         ranges: "list[tuple[str, float | None, float | None]] | None" = None,
+        min_should_match: "int | str | None" = None,
     ) -> list[tuple[int, float]]:
         """Weighted-clause serving core (no Spark job): per-term
         contribution = w_t * idf_t * tfn.  ``search_local`` is the
@@ -1534,6 +1571,7 @@ class SearchEngine:
         terms = list(weights)
         if not terms:
             return []
+        n_req = _msm_count(min_should_match, len(terms))
         m = self.meta
         if self.store.kind != "parquet":
             raise NotImplementedError(
@@ -1660,7 +1698,10 @@ class SearchEngine:
                     inc_by_slab[slab] = inc
             if not by_slab:
                 return []
-        if not exclude_terms and not tomb_local and not groups and not rngs:
+        if (
+            not exclude_terms and not tomb_local and not groups
+            and not rngs and not n_req
+        ):
             # pending deletes take the per-slab kernels (which accept
             # exclusion sets); a purging compaction restores the
             # fused fast path
@@ -1688,6 +1729,7 @@ class SearchEngine:
                 float(m["b"]),
                 float(m["avgdl"]),
                 bound_scale,
+                n_required=n_req,
                 exclude=excl_by_slab.get(slab),
                 after=after,
                 include=(

@@ -276,6 +276,17 @@ def bm25_and_sql(query: str, k: int = 10) -> str:
     terms = tokenize_query(query)
     if not terms:
         return "SELECT CAST(NULL AS BIGINT) AS docid, CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+    return bm25_msm_sql(query, len(terms), k)
+
+
+def bm25_msm_sql(query: str, m: int, k: int = 10) -> str:
+    """minimum_should_match twin (contract.q_bm25_msm): the
+    dedup-aware BM25 scorer restricted to docs matching at least ``m``
+    DISTINCT query terms — the m-of-n middle ground between OR (m<=1)
+    and bool.must (m=n).  bm25_and_sql is the m=n special case."""
+    terms = tokenize_query(query)
+    if not terms:
+        return "SELECT CAST(NULL AS BIGINT) AS docid, CAST(NULL AS DOUBLE) AS score WHERE 1=0"
     terms_in = ", ".join(f"'{t}'" for t in terms)
     return (
         "WITH surv AS (SELECT doc_id, text FROM documents "
@@ -296,7 +307,7 @@ def bm25_and_sql(query: str, k: int = 10) -> str:
         f"(1.0 - {BM25_B} + {BM25_B} * p.doclen / s.avgdl)))) AS raw "
         "FROM postings p JOIN dfs d ON p.term = d.term CROSS JOIN stats s "
         f"WHERE p.term IN ({terms_in}) GROUP BY p.docid "
-        f"HAVING COUNT(DISTINCT p.term) = {len(terms)}) "
+        f"HAVING COUNT(DISTINCT p.term) >= {int(m)}) "
         "SELECT docid, ROUND(raw, 4) AS score FROM scored "
         f"ORDER BY raw DESC, docid LIMIT {k}"
     )

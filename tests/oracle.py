@@ -115,6 +115,22 @@ class OracleIndex:
         ]
         return keep[:k]
 
+    def search_msm(
+        self, query: str, m: int, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """minimum_should_match: docs matching >= m distinct terms."""
+        terms = tokenize_query(query)
+        if not terms:
+            return []
+        ranked = self.search_weighted({t: 1.0 for t in terms}, 10**9)
+        keep = [
+            (d, s)
+            for d, s in ranked
+            if sum(1 for t in set(terms) if d in self.postings.get(t, {}))
+            >= m
+        ]
+        return keep[:k]
+
     def search_not(
         self, query: str, exclude: str, k: int = 10
     ) -> list[tuple[int, float]]:
