@@ -201,6 +201,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_range_q1"] = partial(
         C.q_bm25_range, query=PAGE_QUERY, **RANGE_PARAMS, k=10
     )
+    # round 5 session 5: distributed BPE tokenizer training (the
+    # subword-vocabulary learner of LLM pipelines, ops/bpe.py) — the
+    # DuckDB twin replays the full training loop as chained
+    # MATERIALIZED CTE rounds, so the gate covers pair counting, the
+    # tie-break AND the merge application.  `bm25_q1` moves to the
+    # tail for the slot: its naive scan scoring core is a strict
+    # computation subset of in-window bm25_range_q1 (same
+    # _bm25_scores + range admission on top).
+    q["bpe_merges"] = partial(C.q_bpe_merges, n_merges=12)
     q["cached_search"] = partial(C.q_cached_search, query=CACHE_QUERY, k=10)
     q["ranked_blend"] = partial(C.q_ranked_blend, query=RANKED_QUERY, k=10)
     q.update(
@@ -356,7 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  "ann_ivf", "bm25_and_q2", "simhash_fp", "minhash_sig",
                  "bm25_wand_q2", "bm25_full_q2", "bm25_full_q3",
                  "bm25_fields_q1", "bm25_expanded_q2", "freshness_decay",
-                 "snippet"):
+                 "snippet", "bm25_q1"):
         q[tail] = q.pop(tail)
     return q
 
@@ -398,6 +407,7 @@ def oracle_sql() -> dict[str, str]:
         PAGE_QUERY, k=10, **RANGE_PARAMS
     )
     o["bm25_msm_q1"] = O.bm25_msm_sql(PAGE_QUERY, 2, 10)
+    o["bpe_merges"] = OO.bpe_merges_sql(12)
     # scan and positional phrase forms are identical by construction,
     # so each phrase's two entries share one oracle (the ann_* pattern)
     o["bm25_phrase_q1"] = O.bm25_phrase_sql(PHRASE_QUERIES["bm25_phrase_q1"], 10)

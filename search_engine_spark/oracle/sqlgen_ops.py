@@ -1071,3 +1071,50 @@ def cms_term_freq_sql() -> str:
         "FROM pj LEFT JOIN sk ON pj.j = sk.j AND pj.bucket = sk.bucket "
         "GROUP BY pj.term ORDER BY pj.term"
     )
+
+
+def bpe_merges_sql(n_merges: int = 12) -> str:
+    """Twin of contract.q_bpe_merges (ops/bpe.py): the full BPE
+    training loop replayed as chained CTE stages — one (pair counts
+    -> argmax -> literal-replace merge) block per round.  The spaced
+    symbol representation and the leftmost-nonoverlapping `replace`
+    semantics are identical across DuckDB / Spark / Python, so the
+    learned merges compare hash-exactly."""
+    from search_engine_spark.tokenizer import duckdb_tokens_sql
+
+    parts = [
+        "WITH wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq "
+        "FROM (SELECT unnest("
+        + duckdb_tokens_sql("text")
+        + ") AS word FROM documents) GROUP BY word), "
+        "w0 AS MATERIALIZED (SELECT "
+        "regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' "
+        "AS sym, freq FROM wf)"
+    ]
+    for i in range(1, int(n_merges) + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f", p{i} AS MATERIALIZED (SELECT u.pair, SUM(w.freq) AS cnt "
+            f"FROM {prev} w, unnest(list_transform("
+            "range(1, len(string_split(w.sym, ' '))), "
+            "j -> string_split(w.sym, ' ')[j] || ' ' || "
+            "string_split(w.sym, ' ')[j + 1])) AS u(pair) "
+            "GROUP BY u.pair)"
+            f", m{i} AS MATERIALIZED (SELECT pair, cnt, "
+            "replace(pair, ' ', '') AS merged "
+            f"FROM p{i} ORDER BY cnt DESC, pair LIMIT 1)"
+            f", w{i} AS MATERIALIZED (SELECT trim(replace(' ' || sym || ' ', "
+            f"' ' || (SELECT pair FROM m{i}) || ' ', "
+            f"' ' || (SELECT merged FROM m{i}) || ' ')) AS sym, freq "
+            f"FROM {prev})"
+            f", s{i} AS (SELECT {i} AS rank, "
+            "string_split(pair, ' ')[1] AS \"left\", "
+            "string_split(pair, ' ')[2] AS \"right\", cnt "
+            f"FROM m{i})"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, int(n_merges) + 1))
+    parts.append(
+        f" SELECT CAST(rank AS INT) AS rank, \"left\", \"right\", "
+        f"CAST(cnt AS BIGINT) AS cnt FROM ({union}) ORDER BY rank"
+    )
+    return "".join(parts)
