@@ -21,15 +21,23 @@ Distributed shape (the 100 TB story):
   the learned merge list is identical across partitionings and
   cluster sizes (pinned in tests).
 
-Representation: a word is a SPACE-JOINED symbol string ending in the
-``</w>`` end-of-word marker ("hello" -> "h e l l o </w>").  Merging
-pair (a, b) is the literal string replace of " a b " with " ab " on
-the space-padded string — leftmost non-overlapping, continuing after
-each replacement, which is exactly the reference algorithm's single
-left-to-right pass over the symbol list.  Spark's ``replace``,
-DuckDB's ``replace`` and Python's ``str.replace`` share those
-semantics, which is what lets the DuckDB contract twin compare
-hash-exactly and the pytest reference stay 30 lines.
+Representation: a word is a DOUBLE-SPACE-joined symbol string ending
+in the ``</w>`` end-of-word marker ("hello" -> "h  e  l  l  o  </w>").
+Merging pair (a, b) is the literal replace of " a  b " with " ab " on
+the single-space-padded string.  The doubled boundary is what makes a
+flat leftmost-nonoverlapping replace EXACTLY the reference
+algorithm's left-to-right symbol walk (merge at i, continue at i+2):
+each match consumes one space from its left and right boundaries and
+the replacement restores them, so an immediately-following occurrence
+still has its delimiter and matches in the same pass.  With
+single-space joining, consecutive overlapping occurrences share one
+delimiter char and the replace skips every second one — "a a a a a"
+under merge (a,a) becomes "aa a aa" instead of the walk's "aa aa a"
+(a real divergence a review caught; the double-space form is the
+fix, pinned in tests against an independent index-walk reference).
+Spark's ``replace``, DuckDB's ``replace`` and Python's
+``str.replace`` share these semantics, which is what lets the DuckDB
+contract twin compare hash-exactly.
 """
 
 from __future__ import annotations
@@ -52,15 +60,19 @@ def word_freqs(docs: DataFrame, text_col: str = "content") -> DataFrame:
     )
 
 
+SEP = "  "  # the double-space symbol boundary (see module docstring)
+
+
 def _sym_col(word_col):
-    """word -> spaced symbol string: "hello" -> "h e l l o </w>"."""
+    """word -> double-spaced symbol string:
+    "hello" -> "h  e  l  l  o  </w>"."""
     chars = F.filter(F.split(word_col, ""), lambda x: F.length(x) > 0)
-    return F.concat(F.concat_ws(" ", chars), F.lit(" " + END_WORD))
+    return F.concat(F.concat_ws(SEP, chars), F.lit(SEP + END_WORD))
 
 
 def _pair_counts(words: DataFrame) -> DataFrame:
     """(pair, cnt): adjacent symbol pairs weighted by word freq."""
-    arr = F.split(F.col("sym"), " ")
+    arr = F.split(F.col("sym"), SEP)
     # guard the fully-merged single-symbol case: Spark's sequence(0,
     # -1) DESCENDS ([0, -1]) instead of being empty, and element_at
     # would then index out of bounds
@@ -83,12 +95,14 @@ def _pair_counts(words: DataFrame) -> DataFrame:
 
 
 def _apply_merge(sym_col, a: str, b: str):
-    """One merge round on the spaced representation: the reference
-    algorithm's left-to-right non-overlapping pass, as one literal
-    replace on the space-padded string."""
+    """One merge round: the reference algorithm's left-to-right walk,
+    as ONE literal replace on the single-space-padded double-space
+    representation (each match consumes one boundary space per side;
+    the replacement restores them, so back-to-back occurrences merge
+    in the same pass — see module docstring)."""
     padded = F.concat(F.lit(" "), sym_col, F.lit(" "))
     replaced = F.replace(
-        padded, F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+        padded, F.lit(f" {a}{SEP}{b} "), F.lit(f" {a}{b} ")
     )
     return F.trim(replaced)
 
@@ -149,7 +163,7 @@ def bpe_encode_col(word_col, merges: list[tuple]):
     sym = _sym_col(word_col)
     for a, b, *_ in merges:
         sym = _apply_merge(sym, a, b)
-    return F.split(sym, " ")
+    return F.split(sym, SEP)
 
 
 def merges_df(spark: SparkSession, merges: list[tuple]) -> DataFrame:
@@ -163,23 +177,40 @@ def merges_df(spark: SparkSession, merges: list[tuple]) -> DataFrame:
     )
 
 
+def _walk_merge(parts: list[str], a: str, b: str) -> list[str]:
+    """The canonical BPE merge: scan left to right, merge at i,
+    continue at i+2.  The independent semantics reference the string
+    replaces are pinned against."""
+    out: list[str] = []
+    i = 0
+    while i < len(parts):
+        if i + 1 < len(parts) and parts[i] == a and parts[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(parts[i])
+            i += 1
+    return out
+
+
 def py_bpe_reference(
     word_freq: dict[str, int], n_merges: int
 ) -> list[tuple[str, str, int]]:
     """Driver-free reference implementation (the ACL'16 pseudocode)
-    used by the parity tests — independent of the Spark code paths."""
+    used by the parity tests — an explicit symbol-list index walk,
+    deliberately NOT the string-replace trick the Spark/DuckDB twins
+    use, so parity genuinely gates the merge semantics."""
     from collections import Counter
 
-    words = {
-        " ".join(list(w)) + " " + END_WORD: f for w, f in word_freq.items()
+    words: dict[tuple, int] = {
+        tuple(list(w) + [END_WORD]): f for w, f in word_freq.items()
     }
     out: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         counts: Counter = Counter()
         for sym, f in words.items():
-            parts = sym.split(" ")
-            for i in range(len(parts) - 1):
-                counts[parts[i] + " " + parts[i + 1]] += f
+            for i in range(len(sym) - 1):
+                counts[sym[i] + " " + sym[i + 1]] += f
         if not counts:
             break
         # (count desc, pair-string asc) — the same total order the
@@ -187,13 +218,9 @@ def py_bpe_reference(
         pair, c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         a, b = pair.split(" ")
         out.append((a, b, c))
-        nxt: dict[str, int] = {}
+        nxt: dict[tuple, int] = {}
         for sym, f in words.items():
-            merged = (
-                (" " + sym + " ")
-                .replace(f" {a} {b} ", f" {a}{b} ")
-                .strip()
-            )
+            merged = tuple(_walk_merge(list(sym), a, b))
             nxt[merged] = nxt.get(merged, 0) + f
         words = nxt
     return out

@@ -1075,11 +1075,15 @@ def cms_term_freq_sql() -> str:
 
 def bpe_merges_sql(n_merges: int = 12) -> str:
     """Twin of contract.q_bpe_merges (ops/bpe.py): the full BPE
-    training loop replayed as chained CTE stages — one (pair counts
-    -> argmax -> literal-replace merge) block per round.  The spaced
-    symbol representation and the leftmost-nonoverlapping `replace`
-    semantics are identical across DuckDB / Spark / Python, so the
-    learned merges compare hash-exactly."""
+    training loop replayed as chained MATERIALIZED CTE stages — one
+    (pair counts -> argmax -> literal-replace merge) block per round
+    (non-materialized CTEs would inline the argmax 3x per round: a
+    3^n plan blowup).  The DOUBLE-SPACE symbol representation makes
+    the flat leftmost-nonoverlapping `replace` exactly the reference
+    left-to-right merge walk (see ops/bpe.py docstring), identical
+    across DuckDB / Spark, so the learned merges compare
+    hash-exactly against the Spark twin and both against the
+    independent index-walk Python reference."""
     from search_engine_spark.tokenizer import duckdb_tokens_sql
 
     parts = [
@@ -1088,7 +1092,7 @@ def bpe_merges_sql(n_merges: int = 12) -> str:
         + duckdb_tokens_sql("text")
         + ") AS word FROM documents) GROUP BY word), "
         "w0 AS MATERIALIZED (SELECT "
-        "regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' "
+        "regexp_replace(word, '(.)', '\\1  ', 'g') || '</w>' "
         "AS sym, freq FROM wf)"
     ]
     for i in range(1, int(n_merges) + 1):
@@ -1096,15 +1100,15 @@ def bpe_merges_sql(n_merges: int = 12) -> str:
         parts.append(
             f", p{i} AS MATERIALIZED (SELECT u.pair, SUM(w.freq) AS cnt "
             f"FROM {prev} w, unnest(list_transform("
-            "range(1, len(string_split(w.sym, ' '))), "
-            "j -> string_split(w.sym, ' ')[j] || ' ' || "
-            "string_split(w.sym, ' ')[j + 1])) AS u(pair) "
+            "range(1, len(string_split(w.sym, '  '))), "
+            "j -> string_split(w.sym, '  ')[j] || ' ' || "
+            "string_split(w.sym, '  ')[j + 1])) AS u(pair) "
             "GROUP BY u.pair)"
             f", m{i} AS MATERIALIZED (SELECT pair, cnt, "
             "replace(pair, ' ', '') AS merged "
             f"FROM p{i} ORDER BY cnt DESC, pair LIMIT 1)"
             f", w{i} AS MATERIALIZED (SELECT trim(replace(' ' || sym || ' ', "
-            f"' ' || (SELECT pair FROM m{i}) || ' ', "
+            f"' ' || replace((SELECT pair FROM m{i}), ' ', '  ') || ' ', "
             f"' ' || (SELECT merged FROM m{i}) || ' ')) AS sym, freq "
             f"FROM {prev})"
             f", s{i} AS (SELECT {i} AS rank, "

@@ -110,6 +110,52 @@ def test_fully_merged_word_guard(spark):
     assert final == ["abc" + END_WORD]
 
 
+def test_merge_semantics_overlapping_pairs(spark):
+    """The double-space replace must equal the canonical index walk on
+    the overlap shapes where a single-space replace diverges: 'banana'
+    under (a,n) and odd runs under (a,a).  Pinned against _walk_merge
+    (the independent reference), full corpus included via
+    test_parity_with_reference."""
+    from search_engine_spark.ops.bpe import SEP, _apply_merge, _walk_merge
+
+    cases = [
+        ("b a n a n a </w>".split(), "a", "n"),
+        ("a a a a a </w>".split(), "a", "a"),
+        ("a a a a </w>".split(), "a", "a"),
+        ("x a b a b a b y </w>".split(), "a", "b"),
+        ("a a </w>".split(), "a", "a"),
+    ]
+    df = spark.createDataFrame(
+        [(SEP.join(parts),) for parts, _, _ in cases], "sym string"
+    )
+    rows = df.collect()
+    for (parts, a, b), r in zip(cases, rows):
+        got = [
+            x["m"]
+            for x in spark.createDataFrame([(r["sym"],)], "sym string")
+            .withColumn("m", _apply_merge(F.col("sym"), a, b))
+            .collect()
+        ][0]
+        assert got == SEP.join(_walk_merge(parts, a, b)), (parts, a, b)
+
+
+def test_training_on_repeat_words(spark):
+    """End-to-end training on a corpus rich in 'banana'-shaped repeat
+    words agrees with the index-walk reference — the case the
+    single-space representation got wrong."""
+    text = "banana bananana abababa aaaa banana abababa aaaa aaaa"
+    docs = spark.createDataFrame(
+        [("r", "p", "c", text)],
+        "repo string, path string, commit string, content string",
+    )
+    merges, words = bpe_train(spark, docs, 8)
+    words.unpersist()
+    wf: Counter = Counter()
+    for t in py_tokenize(text):
+        wf[t] += 1
+    assert merges == py_bpe_reference(dict(wf), 8)
+
+
 def test_merges_df_shape(spark, spark_merges):
     df = merges_df(spark, spark_merges)
     assert df.columns == ["rank", "left", "right", "cnt"]
