@@ -243,6 +243,24 @@ def main() -> None:
     _sh.rmtree(f"{idx_dir}/tombstones", ignore_errors=True)
     eng.refresh()
 
+    # --- 2g. session-5 request params: doc-values ranges + m-of-n ---
+    t0 = time.time()
+    eng.search(
+        list(REFERENCE_QUERIES.values())[0], 10,
+        date_from=300, date_to=1800, min_quality=0.45,
+    ).count()
+    queries["range_q"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    for q in list(REFERENCE_QUERIES.values())[:6]:
+        eng.search_local(
+            q, 10, date_from=300, date_to=1800, min_quality=0.45
+        )
+    queries["range_serving_6q"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    for q in list(REFERENCE_QUERIES.values())[:6]:
+        eng.search_local(q, 10, min_should_match="50%")
+    queries["msm_serving_6q"] = round(time.time() - t0, 3)
+
     # --- 3. batch throughput ---
     batch = {}
     for rep in range(4):
@@ -268,7 +286,7 @@ def main() -> None:
     import __spark_entry__ as E
 
     for name in ["term_counts", "bm25_q1", "bm25_wand_q1", "exact_dedup",
-                 "hll_vocab", "cms_term_freq"]:
+                 "hll_vocab", "cms_term_freq", "bpe_merges"]:
         t0 = time.time()
         E.queries()[name](spark, sf_dir).count()
         queries[name] = round(time.time() - t0, 3)

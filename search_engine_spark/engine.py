@@ -64,20 +64,28 @@ def pack_admission_rows(adm: DataFrame, slab_size: int, gi: int) -> DataFrame:
 
 
 def _msm_count(msm, n: int) -> int:
-    """ES minimum_should_match value -> required distinct-term count:
-    an int passes through; "P%" takes floor(n * P / 100) (the ES
-    percentage rule — rounded DOWN).  0/None disables (plain OR)."""
+    """ES minimum_should_match value -> required distinct-term count.
+
+    The full ES grammar subset: a positive int passes through; a
+    NEGATIVE int means "total minus that many may be missing" (n+m);
+    "P%" takes floor(n*P/100); "-P%" means n minus floor(n*P/100) —
+    percentages round DOWN before use, the documented ES rule.  The
+    result clamps at 0, and m <= 1 normalizes to 0: every scored doc
+    matches at least one clause, so msm=1 IS plain OR — returning 0
+    keeps the serving fused fast path and the count-free kernels."""
     if msm is None:
         return 0
     if isinstance(msm, str):
         s = msm.strip()
         if not s.endswith("%"):
             raise ValueError(f"minimum_should_match {msm!r}: int or 'P%'")
-        return (n * int(s[:-1])) // 100
-    m = int(msm)
-    if m < 0:
-        raise ValueError("minimum_should_match must be >= 0")
-    return m
+        p = int(s[:-1])
+        m = (n * p) // 100 if p >= 0 else n - ((n * -p) // 100)
+    else:
+        m = int(msm)
+        if m < 0:
+            m = n + m
+    return 0 if m <= 1 else m
 
 
 def _dto_ranges(date_from, date_to, min_quality):
@@ -618,9 +626,18 @@ class SearchEngine:
 
         field, lo, hi = rng
         if field == "quality":
+            if "quality" in self.docmap.columns:
+                qcol = F.col("quality")
+            else:
+                # pre-quality-column docmap (legacy index): compute at
+                # query time, the search_ranked fallback discipline
+                from search_engine_spark.ops.ranking import quality_col
+                from search_engine_spark.tokenizer import tokens_col
+
+                qcol = quality_col(F.col("content"), tokens_col("content"))
             src = self.docmap.select(
                 F.col("docid").cast("long").alias("docid"),
-                F.col("quality").cast("double").alias("_v"),
+                qcol.cast("double").alias("_v"),
             )
         elif field == "day":
             src = self.docmap.select(
@@ -2265,14 +2282,45 @@ class SearchEngine:
         if arr is None:
             import pyarrow.dataset as ds
 
-            tab = ds.dataset(
+            dset = ds.dataset(
                 f"{self.index_dir}/docmap", partitioning="hive"
-            ).to_table(columns=["docid", "quality"])
+            )
+            if "quality" in dset.schema.names:
+                tab = dset.to_table(columns=["docid", "quality"])
+                qvals = tab.column("quality").to_numpy(
+                    zero_copy_only=False
+                )
+            else:
+                # pre-quality-column docmap (legacy index): compute
+                # the F13 formula here once per generation — the
+                # same IEEE-double op order as ops/ranking.quality_col
+                from search_engine_spark.tokenizer import py_tokenize
+
+                tab = dset.to_table(columns=["docid", "content"])
+
+                def _q(content: str) -> float:
+                    toks = py_tokenize(content)
+                    nt = len(toks)
+                    uniq = 0.0 if nt == 0 else len(set(toks)) / nt
+                    awl = (
+                        0.0 if nt == 0
+                        else sum(len(t) for t in toks) / nt
+                    )
+                    return (
+                        0.3 * min(len(content) / 5000.0, 1.0)
+                        + 0.2 * min(nt / 800.0, 1.0)
+                        + 0.3 * uniq
+                        + 0.2 * min(awl / 6.0, 1.0)
+                    )
+
+                qvals = np.array(
+                    [_q(c) for c in tab.column("content").to_pylist()]
+                )
             ids = tab.column("docid").to_numpy()
             arr = np.full(
                 (int(ids.max()) + 1) if len(ids) else 0, np.nan
             )
-            arr[ids] = tab.column("quality").to_numpy(zero_copy_only=False)
+            arr[ids] = qvals
             self._dv_arrs["quality"] = arr
         out = np.full(n, np.nan)
         end = min(base + n, len(arr))

@@ -814,14 +814,7 @@ def bm25_range_wand_sql(
     qual = quality_score_sql().replace("ORDER BY docid", "")
     conds = _range_conds(day_from, day_to, min_quality, "sc.docid", "q.quality")
     return (
-        "WITH surv AS (SELECT doc_id, text FROM documents "
-        "QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1), "
-        "toks AS (SELECT doc_id AS docid, "
-        f"{duckdb_tokens_sql('text')} AS toks FROM surv), "
-        "tl AS (SELECT docid, toks, len(toks) AS doclen FROM toks), "
-        "exploded AS (SELECT docid, doclen, unnest(toks) AS term FROM tl), "
-        "postings AS (SELECT term, docid, CAST(count(*) AS INT) AS tf, "
-        "doclen FROM exploded GROUP BY term, docid, doclen), "
+        "WITH " + dedup_postings_cte() + ", "
         "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, "
         "avg(doclen) AS avgdl FROM tl), "
         "dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings "

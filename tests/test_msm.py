@@ -82,10 +82,32 @@ def test_msm_percentage_and_parse():
     assert _msm_count("75%", 4) == 3
     assert _msm_count("75%", 3) == 2  # ES rounds down
     assert _msm_count("100%", 4) == 4
+    # the ES negative forms: "total minus that many may be missing"
+    assert _msm_count(-1, 4) == 3
+    assert _msm_count(-2, 4) == 2
+    assert _msm_count("-25%", 4) == 3  # 4 - floor(4*25/100)
+    assert _msm_count("-50%", 4) == 2
+    assert _msm_count("-75%", 8) == 2  # 8 - floor(8*75/100) = 8-6
+    # m <= 1 is plain OR (every scored doc matches >= 1 clause):
+    # normalized to 0 so the fused fast path stays on
+    assert _msm_count(1, 4) == 0
+    assert _msm_count("25%", 4) == 0
+    assert _msm_count(-4, 4) == 0  # clamps through the <=1 rule
+    assert _msm_count(-9, 4) == 0
     with pytest.raises(ValueError):
         _msm_count("two", 4)
-    with pytest.raises(ValueError):
-        _msm_count(-1, 4)
+
+
+def test_msm_negative_forms_end_to_end(engine):
+    got_neg = [
+        (r["docid"], r["score"])
+        for r in engine.search(QUERY, 10, min_should_match=-2).collect()
+    ]
+    got_pos = [
+        (r["docid"], r["score"])
+        for r in engine.search(QUERY, 10, min_should_match=2).collect()
+    ]
+    assert got_neg == got_pos  # 4 + (-2) == 2
 
 
 def test_msm_percentage_end_to_end(engine):

@@ -232,6 +232,35 @@ def test_append_refresh_regenerates_dv(spark, tmp_path_factory):
     assert any(d_ >= max_base for d_, _ in base)
 
 
+def test_legacy_docmap_without_quality(spark, tmp_path_factory, oracle):
+    """A pre-quality-column docmap (legacy index) must degrade
+    gracefully: the Spark path recomputes F13 at query time (the
+    search_ranked fallback discipline) and the serving path computes
+    the python twin once per generation — identical results to a
+    quality-materialized index."""
+    import shutil
+
+    d = str(tmp_path_factory.mktemp("rnglegacy"))
+    docs = corpus_df(spark, N_DOCS, partitions=8)
+    build_index(spark, docs, d, CFG)
+    dm = spark.read.parquet(f"{d}/docmap").drop("quality")
+    dm.write.mode("overwrite").parquet(f"{d}/docmap_nq")
+    shutil.rmtree(f"{d}/docmap")
+    shutil.move(f"{d}/docmap_nq", f"{d}/docmap")
+    e = SearchEngine(spark, d)
+    assert "quality" not in e.docmap.columns
+    got = [
+        (r["docid"], r["score"])
+        for r in e.search(
+            "query parse buffer", 10, min_quality=0.45
+        ).collect()
+    ]
+    want = oracle.search_range("query parse buffer", None, None, 0.45, 10)
+    assert [d_ for d_, _ in got] == [d_ for d_, _ in want]
+    loc = e.search_local("query parse buffer", 10, min_quality=0.45)
+    assert [d_ for d_, _ in loc] == [d_ for d_, _ in got]
+
+
 def test_day_offset_helper():
     assert day_offset("2018-01-01") == 0
     assert day_offset("2018-12-31") == 364
