@@ -351,6 +351,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # bool.must (bm25_and_q1) forms, which share the same kernel
     # counting machinery (sweep tail)
     q["bm25_msm_q1"] = partial(C.q_bm25_msm, query=PAGE_QUERY, m=2, k=10)
+    # SearchDocumentsUseCase response assembly (usecase.py): page-2
+    # rank window + the SearchResultDTO projection (url/snippet/
+    # language/crawledAt) in one gated DataFrame (sweep tail)
+    q["search_response_q1"] = partial(
+        C.q_search_response, query=PAGE_QUERY, page=1, size=10
+    )
     # round-5 fuzzy/prefix need two window slots: bm25_full_q3 joins
     # the tail (its bare BEST_FIELDS + pagerank computation is a
     # strict subset of bm25_full_q1's, which stays gated) and
@@ -408,6 +414,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["bm25_msm_q1"] = O.bm25_msm_sql(PAGE_QUERY, 2, 10)
     o["bpe_merges"] = OO.bpe_merges_sql(12)
+    o["search_response_q1"] = O.search_response_sql(PAGE_QUERY, 1, 10)
     # scan and positional phrase forms are identical by construction,
     # so each phrase's two entries share one oracle (the ann_* pattern)
     o["bm25_phrase_q1"] = O.bm25_phrase_sql(PHRASE_QUERIES["bm25_phrase_q1"], 10)

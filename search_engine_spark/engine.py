@@ -2108,12 +2108,59 @@ class SearchEngine:
         )
         return seg.mapInPandas(gen, schema="term string, docid long, tf int")
 
+    def _admissible_docids(
+        self,
+        filters: "dict | None" = None,
+        ranges: "list | None" = None,
+    ) -> "DataFrame | None":
+        """(docid) rows passing the keyword filters and doc-values
+        ranges, as plain docmap predicates — the admissibility the
+        kernel paths enforce via postings/raw-admission rows,
+        recomputed as a column-pruned docmap scan for the paths that
+        operate on candidate sets (search_sorted, the use-case
+        facade).  Returns None when nothing is constrained."""
+        from search_engine_spark.ops.ranking import pub_day_col
+
+        if not filters and not ranges:
+            return None
+        adm = self.docmap
+        cond = F.lit(True)
+        for field, value in (filters or {}).items():
+            vals = value if isinstance(value, (list, tuple)) else [value]
+            cond = cond & F.col(field).isin([str(v) for v in vals])
+        for fld, lo, hi in ranges or []:
+            if fld == "quality":
+                if "quality" in adm.columns:
+                    v = F.col("quality").cast("double")
+                else:
+                    from search_engine_spark.ops.ranking import quality_col
+                    from search_engine_spark.tokenizer import tokens_col
+
+                    v = quality_col(
+                        F.col("content"), tokens_col("content")
+                    ).cast("double")
+            elif fld == "day":
+                v = pub_day_col(F.col("docid")).cast("double")
+            else:
+                raise ValueError(f"unknown range field {fld!r}")
+            if lo is not None:
+                cond = cond & (v >= float(lo))
+            if hi is not None:
+                cond = cond & (v <= float(hi))
+        return adm.filter(cond).select(
+            F.col("docid").cast("long").alias("docid")
+        )
+
     def search_sorted(
         self,
         query: str,
         k: int = 10,
         sort_by: str = "date",
         rank: DataFrame | None = None,
+        filter: "dict | None" = None,
+        date_from: "str | int | None" = None,
+        date_to: "str | int | None" = None,
+        min_quality: float | None = None,
     ) -> DataFrame:
         """SearchRequestDTO ``sortBy`` semantics (relevance | date |
         pagerank — SearchRequestDTO.java:19, SearchControllerV2.java:46;
@@ -2136,7 +2183,10 @@ class SearchEngine:
         k rows).  Sorting by a field never scores the full match set.
         """
         if sort_by in ("relevance", "score"):
-            return self.search(query, k)
+            return self.search(
+                query, k, filter=filter, date_from=date_from,
+                date_to=date_to, min_quality=min_quality,
+            )
         if sort_by not in ("date", "pagerank"):
             raise ValueError(f"unknown sortBy {sort_by!r}")
         from search_engine_spark.ops.ranking import (
@@ -2150,6 +2200,13 @@ class SearchEngine:
             return self.spark.createDataFrame([], empty)
         dec = self._drop_tombstones(self._decoded_postings_df(terms))
         cand = dec.select("docid").distinct()
+        adm = self._admissible_docids(
+            filter, _dto_ranges(date_from, date_to, min_quality)
+        )
+        if adm is not None:
+            # filters apply BEFORE the top-k by sort key (exact —
+            # a filtered sort is the sort of the filtered set)
+            cand = cand.join(adm, "docid", "left_semi")
         if sort_by == "date":
             keyed = cand.withColumn(
                 "sort_key", pub_day_col(F.col("docid")).cast("double")

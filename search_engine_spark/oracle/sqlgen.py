@@ -833,6 +833,56 @@ def bm25_range_wand_sql(
     )
 
 
+def search_response_sql(query: str, page: int = 1, size: int = 10) -> str:
+    """Twin of contract.q_search_response: the SearchResponseDTO page
+    assembly — rank window over the BM25 ranking joined to the
+    SearchResultDTO projection (url=source, F11 snippet, language,
+    publish-day ISO date)."""
+    from search_engine_spark.ops.ranking import PUBLISH_RANGE_DAYS
+
+    terms = tokenize_query(query)
+    if not terms:
+        return (
+            "SELECT CAST(NULL AS INT) AS rank, CAST(NULL AS BIGINT) AS docid, "
+            "CAST(NULL AS VARCHAR) AS url, CAST(NULL AS VARCHAR) AS snippet, "
+            "CAST(NULL AS DOUBLE) AS score, CAST(NULL AS VARCHAR) AS language, "
+            "CAST(NULL AS VARCHAR) AS crawled_at WHERE 1=0"
+        )
+    terms_in = ", ".join(f"'{t}'" for t in terms)
+    snippet = (
+        "CASE WHEN length(d.text) <= 200 THEN d.text "
+        "WHEN length(regexp_extract(substr(d.text, 1, 200), "
+        "'^([\\s\\S]{100,199}) ', 1)) > 0 "
+        "THEN regexp_extract(substr(d.text, 1, 200), "
+        "'^([\\s\\S]{100,199}) ', 1) || '...' "
+        "ELSE substr(d.text, 1, 200) || '...' END"
+    )
+    return (
+        "WITH " + postings_cte() + ", "
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, "
+        "avg(doclen) AS avgdl FROM tl), "
+        "dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings "
+        f"WHERE term IN ({terms_in}) GROUP BY term), "
+        "scored AS (SELECT p.docid, "
+        "SUM(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * "
+        f"(p.tf * ({BM25_K1} + 1.0) / (p.tf + {BM25_K1} * "
+        f"(1.0 - {BM25_B} + {BM25_B} * p.doclen / s.avgdl)))) AS raw "
+        "FROM postings p JOIN dfs d ON p.term = d.term CROSS JOIN stats s "
+        f"WHERE p.term IN ({terms_in}) GROUP BY p.docid), "
+        "ranked AS (SELECT docid, raw, row_number() OVER "
+        "(ORDER BY raw DESC, docid) AS rank FROM scored) "
+        "SELECT CAST(r.rank AS INT) AS rank, r.docid, d.source AS url, "
+        f"{snippet} AS snippet, ROUND(r.raw, 4) AS score, "
+        "d.lang AS language, "
+        "strftime(DATE '2018-01-01' + "
+        f"CAST((r.docid * 16807) % {PUBLISH_RANGE_DAYS} AS INT), "
+        "'%Y-%m-%d') AS crawled_at "
+        "FROM ranked r JOIN documents d ON d.doc_id = r.docid "
+        f"WHERE r.rank > {page * size} AND r.rank <= {(page + 1) * size} "
+        "ORDER BY r.rank"
+    )
+
+
 def bm25_deleted_sql(query: str, k: int = 10) -> str:
     """Masked-ranking twin (contract.q_bm25_deleted): the dedup BM25
     ranking minus the documents at ranks 1, 3 and 5 — the tombstone

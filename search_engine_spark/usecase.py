@@ -1,0 +1,176 @@
+"""Application layer: the reference's SearchDocumentsUseCase.
+
+`execute(request) -> response` mirrors the reference use case
+(SearchDocumentsUseCase.java:45-91) over the Spark engine: cache
+check (verbatim ``search:{q}:{page}:{size}:{sort}`` key, 30-minute
+TTL), repository page fetch honoring EVERY SearchRequestDTO param
+(query, page/size, sortBy relevance|date|pagerank, language, domain,
+dateFrom/dateTo, minContentQuality — SearchRequestDTO.java:16-24),
+total count, and the SearchResponseDTO mapping
+(SearchResponseDTO.java:17-41: query, totalResults, page, size,
+totalPages = ceil(total/size), searchTimeMs, results[url, title,
+snippet, relevanceScore, pagerankScore, language, crawledAt,
+highlightedTerms], suggestions).
+
+Semantics notes (engine-defined where the reference left gaps):
+
+- ``totalResults`` counts by QUERY only (the reference's
+  ``countResults(query)`` takes no filters — mirrored exactly).
+- ``url`` is the canonical document key ``repo/path@commit`` (F7 —
+  the code-corpus analog of the page URL).
+- ``crawledAt`` is the ISO date of the synthetic publish day
+  (PUBLISH_EPOCH + pub_day(docid)) — the SAME day sortBy="date" and
+  dateFrom/dateTo use, so the response dates are consistent with
+  sorting and filtering.
+- ``highlightedTerms`` lists the analyzed query terms (the reference
+  HighlightBuilder marks every query term).
+- ``suggestions`` holds did_you_mean output when the query matched
+  nothing (the reference's GetSuggestionsUseCase is a stub returning
+  [] — GetSuggestionsUseCase.java:20-28; this exceeds it), else [].
+- ``pagerankScore`` joins a supplied (docid, rank) table (e.g.
+  ops/graph.pagerank_converged output), 0.0 when absent — the
+  reference reads the entity's stored pagerank the same way.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+from search_engine_spark.cache import SearchCache, search_key
+from search_engine_spark.tokenizer import tokenize_query
+
+CACHE_TTL_SEC = 30 * 60.0  # CACHE_TTL_MINUTES = 30 (UseCase.java:26)
+
+
+class SearchDocumentsUseCase:
+    """execute(SearchRequestDTO) -> SearchResponseDTO over a
+    SearchEngine (the domain repository analog)."""
+
+    def __init__(self, engine, cache: SearchCache | None = None):
+        self.engine = engine
+        self.cache = cache if cache is not None else SearchCache()
+
+    def execute(self, request: dict) -> dict:
+        t0 = time.time()
+        q = request["query"]
+        page = int(request.get("page") or 0)
+        size = int(request.get("size") or 10)
+        sort_by = request.get("sortBy") or "relevance"
+        key = search_key(q, page, size, sort_by)
+        hit = self.cache.get(key)
+        if hit is not None:
+            return hit
+
+        filters: dict = {}
+        if request.get("language"):
+            filters["lang"] = request["language"]
+        if request.get("domain"):
+            filters["repo"] = request["domain"]
+        kw = dict(
+            filter=filters or None,
+            date_from=request.get("dateFrom"),
+            date_to=request.get("dateTo"),
+            min_quality=request.get("minContentQuality"),
+        )
+        n_fetch = (page + 1) * size
+        if sort_by in ("relevance", "score"):
+            hits = self.engine.search(q, n_fetch, **kw)
+            hits = hits.select("docid", "score")
+        else:
+            hits = self.engine.search_sorted(
+                q, n_fetch, sort_by, rank=request.get("rank"), **kw
+            ).select("docid", "score")
+        rows = hits.collect()[page * size:]
+
+        total = self.engine.count_matches(q)
+        results = self._map_results(q, rows, request.get("rank"))
+        # did_you_mean returns the corrected query or None (nothing
+        # to suggest); the DTO carries a list either way
+        dym = self.engine.did_you_mean(q) if total == 0 else None
+        suggestions = [dym] if dym else []
+        response = {
+            "query": q,
+            "totalResults": total,
+            "page": page,
+            "size": size,
+            "totalPages": int(math.ceil(total / size)) if size else 0,
+            "searchTimeMs": int((time.time() - t0) * 1000),
+            "results": results,
+            "suggestions": suggestions,
+        }
+        self.cache.put(key, response, CACHE_TTL_SEC)
+        return response
+
+    def _map_results(self, q: str, rows, rank: DataFrame | None):
+        """Domain-entity -> DTO mapping (UseCase.java:93-102) for one
+        page of (docid, score) hits: broadcast the tiny page against
+        the docmap projection — never shuffle the corpus."""
+        from search_engine_spark.indexer.docmap import title_col
+        from search_engine_spark.ops.ranking import (
+            PUBLISH_EPOCH,
+            pub_day_col,
+        )
+
+        if not rows:
+            return []
+        eng = self.engine
+        page_df = eng.spark.createDataFrame(
+            [(int(r["docid"]), float(r["score"])) for r in rows],
+            "docid long, score double",
+        )
+        sub = F.substring("content", 1, 200)
+        cut = F.regexp_extract(sub, r"^([\s\S]{100,199}) ", 1)
+        snippet = F.when(
+            F.length("content") <= 200, F.col("content")
+        ).otherwise(
+            F.when(
+                F.length(cut) > 0, F.concat(cut, F.lit("..."))
+            ).otherwise(F.concat(sub, F.lit("...")))
+        )
+        meta = eng.docmap.join(F.broadcast(page_df), "docid").select(
+            "docid",
+            "score",
+            F.concat_ws(
+                "", F.col("repo"), F.lit("/"), F.col("path"),
+                F.lit("@"), F.col("commit"),
+            ).alias("url"),
+            title_col("path").alias("title"),
+            snippet.alias("snippet"),
+            F.col("lang").alias("language"),
+            pub_day_col(F.col("docid")).cast("int").alias("day"),
+        )
+        if rank is not None:
+            r = rank.select(
+                F.col(rank.columns[0]).cast("long").alias("docid"),
+                F.col(rank.columns[1]).cast("double").alias("prk"),
+            )
+            meta = meta.join(F.broadcast(r), "docid", "left").fillna(
+                {"prk": 0.0}
+            )
+        else:
+            meta = meta.withColumn("prk", F.lit(0.0))
+        by_id = {int(m["docid"]): m for m in meta.collect()}
+        epoch = datetime.date.fromisoformat(PUBLISH_EPOCH)
+        terms = tokenize_query(q)
+        out = []
+        for r in rows:  # preserve the page's rank order
+            m = by_id[int(r["docid"])]
+            out.append(
+                {
+                    "url": m["url"],
+                    "title": m["title"],
+                    "snippet": m["snippet"],
+                    "relevanceScore": float(r["score"]),
+                    "pagerankScore": float(m["prk"]),
+                    "language": m["language"],
+                    "crawledAt": (
+                        epoch + datetime.timedelta(days=int(m["day"]))
+                    ).isoformat(),
+                    "highlightedTerms": list(terms),
+                }
+            )
+        return out
