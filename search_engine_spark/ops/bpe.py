@@ -166,6 +166,35 @@ def bpe_encode_col(word_col, merges: list[tuple]):
     return F.split(sym, SEP)
 
 
+def bpe_encode_join(
+    df: DataFrame,
+    words: DataFrame,
+    merges: list[tuple],
+    word_col: str = "word",
+) -> DataFrame:
+    """The at-scale encoder: adds a ``syms`` array column to ``df`` by
+    EQUI-JOINING against the trained words table (bpe_train's second
+    return — every trained word already carries its fully-merged
+    symbol string), falling back to the merge-replay expression only
+    for out-of-vocabulary words.  One broadcast/shuffle join instead
+    of len(merges) chained replaces per row — at 100 TB the corpus
+    re-encode touches the vocabulary table once, and the replay
+    expression (whose plan depth grows with the merge count) only
+    ever evaluates on the OOV minority (coalesce short-circuits per
+    row)."""
+    w = words.select(
+        F.col("word").alias(word_col),
+        F.split(F.col("sym"), SEP).alias("_trained"),
+    )
+    joined = df.join(w, word_col, "left")
+    return joined.withColumn(
+        "syms",
+        F.coalesce(
+            F.col("_trained"), bpe_encode_col(F.col(word_col), merges)
+        ),
+    ).drop("_trained")
+
+
 def merges_df(spark: SparkSession, merges: list[tuple]) -> DataFrame:
     """(rank, left, right, cnt) DataFrame of a learned merge list."""
     return spark.createDataFrame(

@@ -46,6 +46,34 @@ from search_engine_spark.tokenizer import tokenize_query
 CACHE_TTL_SEC = 30 * 60.0  # CACHE_TTL_MINUTES = 30 (UseCase.java:26)
 
 
+class GetSuggestionsUseCase:
+    """The controller's second endpoint (SearchControllerV2.java:64-70
+    -> GetSuggestionsUseCase.java): prefix autocomplete.  The
+    reference's implementation is an acknowledged stub returning []
+    (GetSuggestionsUseCase.java:25-27 "TODO ... return empty list");
+    this one is real — the DEFAULT_LIMIT=5 highest-df vocabulary
+    completions of the prefix via the engine's capped prefix-expansion
+    table (query/fuzzy.prefix_expansions: a distributed TakeOrdered,
+    never an unpartitioned window).  The reference's sub-2-char guard
+    is kept verbatim."""
+
+    DEFAULT_LIMIT = 5  # GetSuggestionsUseCase.java:14
+
+    def __init__(self, engine):
+        self.engine = engine
+
+    def execute(self, prefix: str, limit: int | None = None) -> list[str]:
+        if not prefix or len(prefix) < 2:
+            return []
+        from search_engine_spark.query.fuzzy import prefix_expansions
+
+        n = limit if limit is not None else self.DEFAULT_LIMIT
+        exp = prefix_expansions(
+            self.engine._content_vocab(), prefix.lower(), n
+        )
+        return [r["term"] for r in exp.select("term").collect()]
+
+
 class SearchDocumentsUseCase:
     """execute(SearchRequestDTO) -> SearchResponseDTO over a
     SearchEngine (the domain repository analog)."""

@@ -156,6 +156,36 @@ def test_training_on_repeat_words(spark):
     assert merges == py_bpe_reference(dict(wf), 8)
 
 
+def test_encode_join_matches_replay(spark):
+    """bpe_encode_join: in-vocabulary words take the trained symbol
+    string, OOV words fall back to the replay — both identical to
+    bpe_encode_col on every word."""
+    from pyspark.sql import functions as F2
+
+    from search_engine_spark.ops.bpe import bpe_encode_join
+
+    docs = corpus_df(spark, 60, partitions=4)
+    merges, words = bpe_train(spark, docs, 10)
+    vocab_words = [r["word"] for r in words.select("word").limit(5).collect()]
+    probe = spark.createDataFrame(
+        [(w,) for w in vocab_words] + [("zzqqxonotrained",)],
+        "word string",
+    )
+    via_join = {
+        r["word"]: r["syms"]
+        for r in bpe_encode_join(probe, words, merges).collect()
+    }
+    via_replay = {
+        r["word"]: r["syms"]
+        for r in probe.withColumn(
+            "syms", bpe_encode_col(F2.col("word"), merges)
+        ).collect()
+    }
+    words.unpersist()
+    assert via_join == via_replay
+    assert "zzqqxonotrained" in via_join  # OOV took the fallback
+
+
 def test_merges_df_shape(spark, spark_merges):
     df = merges_df(spark, spark_merges)
     assert df.columns == ["rank", "left", "right", "cnt"]

@@ -11,6 +11,7 @@ import datetime
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from search_engine_spark.config import EngineConfig
 from search_engine_spark.corpus import corpus_df, corpus_pandas
@@ -150,6 +151,30 @@ def test_zero_hits_and_suggestions(usecase):
     resp2 = usecase.execute({"query": "qurey"})  # 'query' misspelled
     if resp2["totalResults"] == 0:
         assert resp2["suggestions"] == ["query"]
+
+
+def test_get_suggestions(engine):
+    """The controller's second endpoint: real prefix autocomplete
+    where the reference stubs [] — top-df completions, the reference's
+    sub-2-char guard kept verbatim."""
+    from search_engine_spark.usecase import GetSuggestionsUseCase
+
+    uc = GetSuggestionsUseCase(engine)
+    assert uc.execute("") == []
+    assert uc.execute("q") == []  # < 2 chars, the reference guard
+    got = uc.execute("qu")
+    assert 0 < len(got) <= 5
+    assert all(t.startswith("qu") for t in got)
+    # (df desc, term asc) determinism: a repeat call agrees
+    assert uc.execute("qu") == got
+    dfs = {
+        r["term"]: r["df"]
+        for r in engine._content_vocab()
+        .filter(F.col("term").startswith("qu"))
+        .collect()
+    }
+    want = sorted(dfs.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == [t for t, _ in want]
 
 
 def test_pagerank_score_join(usecase, engine):
