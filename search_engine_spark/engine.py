@@ -622,29 +622,11 @@ class SearchEngine:
         the m#field=value keyword postings (bool.filter), which skip
         the docmap entirely.
         """
-        from search_engine_spark.ops.ranking import pub_day_col
-
         field, lo, hi = rng
-        if field == "quality":
-            if "quality" in self.docmap.columns:
-                qcol = F.col("quality")
-            else:
-                # pre-quality-column docmap (legacy index): compute at
-                # query time, the search_ranked fallback discipline
-                from search_engine_spark.ops.ranking import quality_col
-                from search_engine_spark.tokenizer import tokens_col
-
-                qcol = quality_col(F.col("content"), tokens_col("content"))
-            src = self.docmap.select(
-                F.col("docid").cast("long").alias("docid"),
-                qcol.cast("double").alias("_v"),
-            )
-        elif field == "day":
-            src = self.docmap.select(
-                F.col("docid").cast("long").alias("docid")
-            ).withColumn("_v", pub_day_col(F.col("docid")).cast("double"))
-        else:
-            raise ValueError(f"unknown range field {field!r}")
+        src = self.docmap.select(
+            F.col("docid").cast("long").alias("docid"),
+            self._dv_value_col(field).alias("_v"),
+        )
         cond = F.lit(True)
         if lo is not None:
             cond = cond & (F.col("_v") >= float(lo))
@@ -653,6 +635,27 @@ class SearchEngine:
         return pack_admission_rows(
             src.filter(cond), int(self.meta["slab_size"]), gi
         )
+
+    def _dv_value_col(self, field: str):
+        """docmap Column for a doc-values range field: materialized
+        quality (with the query-time F13 fallback for legacy
+        pre-quality docmaps — the search_ranked discipline) or the
+        pure-docid publish day.  Shared by the kernel-admission and
+        candidate-set (search_sorted / use-case) range paths."""
+        from search_engine_spark.ops.ranking import pub_day_col
+
+        if field == "quality":
+            if "quality" in self.docmap.columns:
+                return F.col("quality").cast("double")
+            from search_engine_spark.ops.ranking import quality_col
+            from search_engine_spark.tokenizer import tokens_col
+
+            return quality_col(
+                F.col("content"), tokens_col("content")
+            ).cast("double")
+        if field == "day":
+            return pub_day_col(F.col("docid")).cast("double")
+        raise ValueError(f"unknown range field {field!r}")
 
     def _content_vocab(self):
         """(term, df) over the CONTENT namespace — the fuzzy/prefix
@@ -2119,8 +2122,6 @@ class SearchEngine:
         recomputed as a column-pruned docmap scan for the paths that
         operate on candidate sets (search_sorted, the use-case
         facade).  Returns None when nothing is constrained."""
-        from search_engine_spark.ops.ranking import pub_day_col
-
         if not filters and not ranges:
             return None
         adm = self.docmap
@@ -2129,20 +2130,7 @@ class SearchEngine:
             vals = value if isinstance(value, (list, tuple)) else [value]
             cond = cond & F.col(field).isin([str(v) for v in vals])
         for fld, lo, hi in ranges or []:
-            if fld == "quality":
-                if "quality" in adm.columns:
-                    v = F.col("quality").cast("double")
-                else:
-                    from search_engine_spark.ops.ranking import quality_col
-                    from search_engine_spark.tokenizer import tokens_col
-
-                    v = quality_col(
-                        F.col("content"), tokens_col("content")
-                    ).cast("double")
-            elif fld == "day":
-                v = pub_day_col(F.col("docid")).cast("double")
-            else:
-                raise ValueError(f"unknown range field {fld!r}")
+            v = self._dv_value_col(fld)
             if lo is not None:
                 cond = cond & (v >= float(lo))
             if hi is not None:
@@ -2349,29 +2337,17 @@ class SearchEngine:
                 )
             else:
                 # pre-quality-column docmap (legacy index): compute
-                # the F13 formula here once per generation — the
-                # same IEEE-double op order as ops/ranking.quality_col
-                from search_engine_spark.tokenizer import py_tokenize
+                # the F13 formula here once per generation via the
+                # shared python twin (same IEEE op order as the
+                # materialized column)
+                from search_engine_spark.ops.ranking import quality_py
 
                 tab = dset.to_table(columns=["docid", "content"])
-
-                def _q(content: str) -> float:
-                    toks = py_tokenize(content)
-                    nt = len(toks)
-                    uniq = 0.0 if nt == 0 else len(set(toks)) / nt
-                    awl = (
-                        0.0 if nt == 0
-                        else sum(len(t) for t in toks) / nt
-                    )
-                    return (
-                        0.3 * min(len(content) / 5000.0, 1.0)
-                        + 0.2 * min(nt / 800.0, 1.0)
-                        + 0.3 * uniq
-                        + 0.2 * min(awl / 6.0, 1.0)
-                    )
-
                 qvals = np.array(
-                    [_q(c) for c in tab.column("content").to_pylist()]
+                    [
+                        quality_py(c)
+                        for c in tab.column("content").to_pylist()
+                    ]
                 )
             ids = tab.column("docid").to_numpy()
             arr = np.full(
@@ -3229,15 +3205,11 @@ class SearchEngine:
             snippet = highlight_snippet_col("content", terms)
             title = mark_col(title_col("path"), terms)
         else:
-            sub = F.substring("content", 1, 200)
-            cut = F.regexp_extract(sub, r"^([\s\S]{100,199}) ", 1)
-            snippet = F.when(
-                F.length("content") <= 200, F.col("content")
-            ).otherwise(
-                F.when(F.length(cut) > 0, F.concat(cut, F.lit("..."))).otherwise(
-                    F.concat(sub, F.lit("..."))
-                )
+            from search_engine_spark.query.highlight import (
+                plain_snippet_col,
             )
+
+            snippet = plain_snippet_col("content")
             from search_engine_spark.indexer.docmap import title_col
 
             title = title_col("path")

@@ -65,6 +65,25 @@ def pub_day_col(docid_col):
     )
 
 
+def quality_py(content: str, toks: "list[str] | None" = None) -> float:
+    """Pure-Python twin of quality_col — the SAME IEEE-double op
+    order, so threshold comparisons land identically.  Used by the
+    serving tier's legacy-docmap fallback and the test oracles."""
+    from search_engine_spark.tokenizer import py_tokenize
+
+    if toks is None:
+        toks = py_tokenize(content)
+    n = len(toks)
+    uniq = 0.0 if n == 0 else len(set(toks)) / n
+    awl = 0.0 if n == 0 else sum(len(t) for t in toks) / n
+    return (
+        0.3 * min(len(content) / 5000.0, 1.0)
+        + 0.2 * min(n / 800.0, 1.0)
+        + 0.3 * uniq
+        + 0.2 * min(awl / 6.0, 1.0)
+    )
+
+
 PUBLISH_EPOCH = "2018-01-01"  # day offset 0 of the synthetic calendar
 
 

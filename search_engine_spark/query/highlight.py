@@ -74,6 +74,24 @@ def _mark_sql(expr: str, terms: list[str]) -> str:
     )
 
 
+def plain_snippet_col(text_col):
+    """F11 plain snippet (no highlighting): first ~200 chars cut at a
+    word boundary past 100 when possible, '...' appended when
+    truncated.  The ONE definition of the expression — the engine
+    meta path, the use-case DTO mapping and the contract twins all
+    share it so the projection can never drift."""
+    from pyspark.sql import functions as F
+
+    c = text_col if not isinstance(text_col, str) else F.col(text_col)
+    sub = F.substring(c, 1, 200)
+    cut = F.regexp_extract(sub, r"^([\s\S]{100,199}) ", 1)
+    return F.when(F.length(c) <= 200, c).otherwise(
+        F.when(F.length(cut) > 0, F.concat(cut, F.lit("..."))).otherwise(
+            F.concat(sub, F.lit("..."))
+        )
+    )
+
+
 def highlight_snippet_col(text_col, terms: list[str],
                           width: int = WIDTH, lead: int = LEAD):
     """Query-term-centered, <mark>-highlighted snippet column."""

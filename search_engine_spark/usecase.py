@@ -142,6 +142,7 @@ class SearchDocumentsUseCase:
             PUBLISH_EPOCH,
             pub_day_col,
         )
+        from search_engine_spark.query.highlight import plain_snippet_col
 
         if not rows:
             return []
@@ -150,15 +151,7 @@ class SearchDocumentsUseCase:
             [(int(r["docid"]), float(r["score"])) for r in rows],
             "docid long, score double",
         )
-        sub = F.substring("content", 1, 200)
-        cut = F.regexp_extract(sub, r"^([\s\S]{100,199}) ", 1)
-        snippet = F.when(
-            F.length("content") <= 200, F.col("content")
-        ).otherwise(
-            F.when(
-                F.length(cut) > 0, F.concat(cut, F.lit("..."))
-            ).otherwise(F.concat(sub, F.lit("...")))
-        )
+        snippet = plain_snippet_col("content")
         meta = eng.docmap.join(F.broadcast(page_df), "docid").select(
             "docid",
             "score",

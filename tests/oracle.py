@@ -41,17 +41,9 @@ class OracleIndex:
             for t, c in tf.items():
                 self.postings[t][docid] = c
             self.docmap.append({**d, "docid": docid, "doclen": len(toks)})
-            # F13 quality twin of ops/ranking.quality_col — the same
-            # IEEE-double op order, so thresholds compare identically
-            n = len(toks)
-            uniq = 0.0 if n == 0 else len(set(toks)) / n
-            awl = 0.0 if n == 0 else sum(len(t) for t in toks) / n
-            self.quality[docid] = (
-                0.3 * min(len(d["content"]) / 5000.0, 1.0)
-                + 0.2 * min(n / 800.0, 1.0)
-                + 0.3 * uniq
-                + 0.2 * min(awl / 6.0, 1.0)
-            )
+            from search_engine_spark.ops.ranking import quality_py
+
+            self.quality[docid] = quality_py(d["content"], toks)
         self.n_docs = len(survivors)
         self.avgdl = (
             sum(self.doclen.values()) / self.n_docs if self.n_docs else 0.0
