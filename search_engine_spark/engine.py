@@ -2786,6 +2786,21 @@ class SearchEngine:
             for d, kk, s in zip(surv, skey, score)
         ]
 
+    def _count_single_term_fast(self, term: str) -> int:
+        """Single-term A7 fast path: the (term, slab) inventory's df
+        column already counts distinct matching docs per slab
+        (generation chunks within a slab cover disjoint docid ranges),
+        so the count is a driver-side pyarrow sum over the tiny
+        inventory — O(slabs the term occurs in), zero postings
+        decode."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+
+        tab = ds.dataset(f"{self.index_dir}/term_slabs").to_table(
+            filter=ds.field("term") == term, columns=["df"]
+        )
+        return int(pc.sum(tab.column("df")).as_py() or 0)
+
     def count_matches(self, query: str) -> int:
         """A7 totalResults: exact count of docs matching >= 1 term.
 
@@ -2801,20 +2816,9 @@ class SearchEngine:
             and self._term_slab_cache is not None
             and tomb is None  # pending deletes need the decode path
         ):
-            # Single-term fast path (A7): the (term, slab) inventory's
-            # df column already counts distinct matching docs per slab
-            # (generation chunks within a slab cover disjoint docid
-            # ranges), so the count is a driver-side pyarrow sum over
-            # the tiny inventory — O(slabs the term occurs in), zero
-            # postings decode.  Multi-term OR keeps the decode below
-            # (union semantics need the actual docids).
-            import pyarrow.compute as pc
-            import pyarrow.dataset as ds
-
-            tab = ds.dataset(f"{self.index_dir}/term_slabs").to_table(
-                filter=ds.field("term") == terms[0], columns=["df"]
-            )
-            return int(pc.sum(tab.column("df")).as_py() or 0)
+            # Multi-term OR keeps the decode below (union semantics
+            # need the actual docids).
+            return self._count_single_term_fast(terms[0])
         import pandas as pd
 
         from search_engine_spark.indexer.codec import TermChunk
@@ -2848,6 +2852,48 @@ class SearchEngine:
         per = seg.groupBy("slab").applyInPandas(count_group, schema="n long")
         row = per.agg(F.sum("n").alias("total")).collect()[0]
         return int(row["total"] or 0)
+
+    def count_matches_local(self, query: str) -> int:
+        """Serving twin of ``count_matches`` (no Spark job): the same
+        single-term inventory fast path; multi-term via the pruned
+        pyarrow chunk reads and per-slab docid unions the facet and
+        WAND serving heads already use.  Exact — pinned equal to the
+        Spark path in pytest."""
+        import numpy as np
+
+        from search_engine_spark.indexer.codec import TermChunk
+
+        terms = list(dict.fromkeys(tokenize_query(query)))
+        if not terms:
+            return 0
+        tomb = self._tombstones_arr()
+        if (
+            len(terms) == 1
+            and self._term_slab_cache is not None
+            and tomb is None
+        ):
+            return self._count_single_term_fast(terms[0])
+        rows = self._local_term_rows(terms)
+        bs = int(self.meta["block_size"])
+        ss = int(self.meta["slab_size"])
+        by_slab: dict[int, list] = {}
+        for rows_t in rows.values():
+            for r in rows_t:
+                c = r.get("_chunk") or TermChunk(
+                    r["postings"], r["skips"], r["block_max"]
+                )
+                by_slab.setdefault(int(r["slab"]), []).append(
+                    c.decode_all(bs)[0]
+                )
+        total = 0
+        for slab, parts in by_slab.items():
+            u = np.unique(np.concatenate(parts))
+            if tomb is not None and len(u):
+                from search_engine_spark.query.wand import _not_in_sorted
+
+                u = u[_not_in_sorted(u + slab * ss, tomb)]
+            total += len(u)
+        return total
 
     # -- phrase retrieval (positional segments) ---------------------------
     def build_positions(self, use_arrow_udf: bool = True) -> dict:
@@ -3180,6 +3226,35 @@ class SearchEngine:
                     .collect()
                 })
             sug = suggest_spelling(unknown, self._dym_dict[1])
+            out = [sug.get(t, t) for t in out]
+        return " ".join(out) if out != terms else None
+
+    def did_you_mean_local(
+        self, query: str, dict_terms: int = 50_000
+    ) -> str | None:
+        """Serving twin of ``did_you_mean`` (no Spark job): identical
+        semantics over the per-generation pyarrow vocabulary
+        (_local_vocab_df — already content-namespace-filtered), with
+        the dictionary slice cut by the same (df desc, term asc)
+        order.  Pinned equal to the Spark path in pytest."""
+        from search_engine_spark.query.expansion import (
+            EXTRA_MISSPELLINGS,
+            MISSPELLINGS,
+            suggest_spelling,
+        )
+
+        terms = tokenize_query(query)
+        if not terms:
+            return None
+        merged_map = {**EXTRA_MISSPELLINGS, **MISSPELLINGS}
+        mapped = [merged_map.get(t, t) for t in terms]
+        vocab = self._local_vocab_df()
+        unknown = [t for t in mapped if t not in vocab]
+        out = list(mapped)
+        if unknown:
+            top = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+            dictionary = {t for t, _ in top[:dict_terms]}
+            sug = suggest_spelling(unknown, dictionary)
             out = [sug.get(t, t) for t in out]
         return " ".join(out) if out != terms else None
 

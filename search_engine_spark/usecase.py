@@ -133,6 +133,131 @@ class SearchDocumentsUseCase:
         self.cache.put(key, response, CACHE_TTL_SEC)
         return response
 
+    def execute_local(self, request: dict) -> dict:
+        """Serving twin of ``execute`` — NO Spark job anywhere: hits
+        via search_local / search_local_sorted, total via
+        count_matches_local, suggestions via did_you_mean_local,
+        metadata for the page via one row-group-pruned pyarrow docmap
+        read, the snippet via the python twin of plain_snippet_col.
+        Identical responses to execute() (pinned in pytest) at
+        serving-head latency — the shape a REST tier would run.
+
+        Boundary: sortBy date/pagerank combined with field/range
+        filters needs the Spark path (search_local_sorted takes no
+        filters); ``rank`` here is a {docid: rank} dict, not a
+        DataFrame."""
+        t0 = time.time()
+        q = request["query"]
+        page = int(request.get("page") or 0)
+        size = int(request.get("size") or 10)
+        sort_by = request.get("sortBy") or "relevance"
+        key = search_key(q, page, size, sort_by) + ":local"
+        hit = self.cache.get(key)
+        if hit is not None:
+            return hit
+        filters: dict = {}
+        if request.get("language"):
+            filters["lang"] = request["language"]
+        if request.get("domain"):
+            filters["repo"] = request["domain"]
+        kw = dict(
+            filter=filters or None,
+            date_from=request.get("dateFrom"),
+            date_to=request.get("dateTo"),
+            min_quality=request.get("minContentQuality"),
+        )
+        n_fetch = (page + 1) * size
+        if sort_by in ("relevance", "score"):
+            hits = self.engine.search_local(q, n_fetch, **kw)
+        else:
+            if filters or any(
+                request.get(x) is not None
+                for x in ("dateFrom", "dateTo", "minContentQuality")
+            ):
+                raise NotImplementedError(
+                    "sortBy date/pagerank with filters: use execute()"
+                )
+            hits = [
+                (d, s)
+                for d, _key, s in self.engine.search_local_sorted(
+                    q, n_fetch, sort_by, rank=request.get("rank")
+                )
+            ]
+        rows = hits[page * size:]
+        total = self.engine.count_matches_local(q)
+        results = self._map_results_local(q, rows, request.get("rank"))
+        dym = self.engine.did_you_mean_local(q) if total == 0 else None
+        response = {
+            "query": q,
+            "totalResults": total,
+            "page": page,
+            "size": size,
+            "totalPages": int(math.ceil(total / size)) if size else 0,
+            "searchTimeMs": int((time.time() - t0) * 1000),
+            "results": results,
+            "suggestions": [dym] if dym else [],
+        }
+        self.cache.put(key, response, CACHE_TTL_SEC)
+        return response
+
+    @staticmethod
+    def _py_snippet(text: str) -> str:
+        """Python twin of query/highlight.plain_snippet_col — same
+        rule, same boundaries (pinned via execute_local == execute)."""
+        import re
+
+        if len(text) <= 200:
+            return text
+        sub = text[:200]
+        m = re.match(r"^([\s\S]{100,199}) ", sub)
+        return (m.group(1) if m else sub) + "..."
+
+    def _map_results_local(self, q: str, rows, rank):
+        """No-Spark DTO mapping: one pyarrow docmap read filtered to
+        the page's docids (row-group pruned — docmap is docid-ordered)
+        instead of a Spark join."""
+        import pyarrow.dataset as ds
+
+        from search_engine_spark.ops.ranking import (
+            PUBLISH_EPOCH,
+            PUBLISH_RANGE_DAYS,
+        )
+
+        if not rows:
+            return []
+        ids = [int(d) for d, _ in rows]
+        tab = ds.dataset(
+            f"{self.engine.index_dir}/docmap", partitioning="hive"
+        ).to_table(
+            filter=ds.field("docid").isin(ids),
+            columns=["docid", "repo", "path", "commit", "lang", "content"],
+        )
+        by_id = {
+            int(r["docid"]): r for r in tab.to_pylist()
+        }
+        epoch = datetime.date.fromisoformat(PUBLISH_EPOCH)
+        terms = tokenize_query(q)
+        rank_map = rank or {}
+        out = []
+        for d, s in rows:
+            m = by_id[int(d)]
+            day = (int(d) * 16807) % PUBLISH_RANGE_DAYS
+            out.append(
+                {
+                    "url": f"{m['repo']}/{m['path']}@{m['commit']}",
+                    "title": m["path"].rsplit("/", 1)[-1],
+                    "snippet": self._py_snippet(m["content"]),
+                    "relevanceScore": float(s),
+                    "pagerankScore": float(rank_map.get(int(d), 0.0)),
+                    "language": m["lang"],
+                    "crawledAt": (
+                        epoch + datetime.timedelta(days=day)
+                    ).isoformat(),
+                    "highlightedTerms": list(terms),
+                }
+            )
+        return out
+
     def _map_results(self, q: str, rows, rank: DataFrame | None):
         """Domain-entity -> DTO mapping (UseCase.java:93-102) for one
         page of (docid, score) hits: broadcast the tiny page against

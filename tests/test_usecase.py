@@ -153,6 +153,51 @@ def test_zero_hits_and_suggestions(usecase):
         assert resp2["suggestions"] == ["query"]
 
 
+REQUESTS = [
+    {"query": QUERY, "page": 0, "size": 5},
+    {"query": QUERY, "page": 1, "size": 4},
+    {"query": QUERY, "size": 8, "minContentQuality": 0.4,
+     "dateFrom": 100, "dateTo": 2000},
+    {"query": "zzznosuchword"},
+    {"query": QUERY, "size": 6, "sortBy": "date"},
+]
+
+
+@pytest.mark.parametrize("req", REQUESTS)
+def test_execute_local_identity(engine, req):
+    """The no-Spark execute twin returns the IDENTICAL response
+    (searchTimeMs aside) for every request shape — incl. the python
+    snippet twin, the pyarrow metadata read, count_matches_local and
+    the date-sorted path."""
+    a = SearchDocumentsUseCase(engine).execute(dict(req))
+    b = SearchDocumentsUseCase(engine).execute_local(dict(req))
+    a.pop("searchTimeMs"), b.pop("searchTimeMs")
+    for ra, rb in zip(a["results"], b["results"]):
+        assert ra["relevanceScore"] == pytest.approx(
+            rb["relevanceScore"], rel=1e-12
+        )
+        ra.pop("relevanceScore"), rb.pop("relevanceScore")
+    assert a == b
+
+
+def test_count_matches_local_identity(engine):
+    for q in [QUERY, "query", "zzznosuchword", "crawl rank"]:
+        assert engine.count_matches_local(q) == engine.count_matches(q)
+
+
+def test_did_you_mean_local_identity(engine):
+    for q in ["qurey parse", "zzznosuchword", QUERY, "databsae"]:
+        assert engine.did_you_mean_local(q) == engine.did_you_mean(q)
+
+
+def test_execute_local_sorted_with_filters_boundary(engine):
+    uc = SearchDocumentsUseCase(engine)
+    with pytest.raises(NotImplementedError):
+        uc.execute_local(
+            {"query": QUERY, "sortBy": "date", "language": "python"}
+        )
+
+
 def test_get_suggestions(engine):
     """The controller's second endpoint: real prefix autocomplete
     where the reference stubs [] — top-df completions, the reference's
